@@ -1,0 +1,205 @@
+"""Minimal namespace-aware XML DOM built on stdlib ``xml.parsers.expat``.
+
+Fills the role of the reference's NodeProxy adapters
+(``/root/reference/lib/rdf/rdfxml/reader/nokogiri.rb`` /
+``reader/rexml.rb``): a uniform per-element view exposing
+
+* ``ns`` / ``local`` / ``prefix`` — the expanded element name,
+* ``ns_decls`` — the namespace declarations made **on this element**
+  (NodeProxy#namespaces, nokogiri.rb:104-106),
+* ``attrs`` — document-order attributes as ``(ns, local, prefix, value)``
+  (xmlns declarations are *not* attributes, matching nokogiri),
+* ``children`` — element + text children in document order (comments and
+  processing instructions are dropped; CDATA merges into text, matching
+  NodeProxy#text? at nokogiri.rb:88-90),
+* parent links (for ancestor context extraction, reader.rb:58-66).
+
+expat is C-backed (same libexpat family nokogiri leans on via libxml2) and
+ships with CPython — no extra dependency inside Arrow UDF workers. Internal
+DTD entities are expanded by expat natively (the reference enables
+``config.noent``, nokogiri.rb:243-245).
+"""
+
+from __future__ import annotations
+
+from xml.parsers import expat
+
+XML_NS = "http://www.w3.org/XML/1998/namespace"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+_SEP = "\x01"
+
+
+class XMLParseError(Exception):
+    """Malformed XML — the document goes to the error channel."""
+
+
+class Text:
+    __slots__ = ("value",)
+
+    def __init__(self, value: str):
+        self.value = value
+
+    is_element = False
+    is_text = True
+
+    @property
+    def is_blank(self) -> bool:
+        return not self.value.strip()
+
+
+class Element:
+    __slots__ = (
+        "ns", "local", "prefix", "attrs", "ns_decls", "children", "parent",
+    )
+
+    is_element = True
+    is_text = False
+
+    def __init__(self, ns, local, prefix, parent):
+        self.ns = ns                # namespace URI or None
+        self.local = local
+        self.prefix = prefix        # declared prefix or None
+        self.attrs = []             # [(ns, local, prefix, value)] doc order
+        self.ns_decls = []          # [(prefix|None, uri)] declared here
+        self.children = []          # [Element|Text]
+        self.parent = parent
+
+    # -- name ----------------------------------------------------------------
+    @property
+    def uri(self) -> str:
+        """Expanded name as the reference computes it: namespace href +
+        local name, defaulting to the XML namespace when unqualified
+        (NodeProxy#uri, nokogiri.rb:169-173)."""
+        return (self.ns if self.ns is not None else XML_NS) + self.local
+
+    @property
+    def name(self) -> str:
+        return self.local
+
+    # -- structure -------------------------------------------------------------
+    def element_children(self):
+        return [c for c in self.children if c.is_element]
+
+    def text_children(self):
+        """Non-blank text children (NodeProxy#text?, nokogiri.rb:88-90)."""
+        return [c for c in self.children if c.is_text and not c.is_blank]
+
+    def inner_text(self) -> str:
+        """Concatenated text of all text descendants (Nokogiri inner_text)."""
+        out = []
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            if node.is_text:
+                out.append(node.value)
+            else:
+                stack.extend(reversed(node.children))
+        return "".join(out)
+
+    def ancestors(self):
+        """Ancestor elements root-first (NodeProxy#ancestors)."""
+        chain = []
+        p = self.parent
+        while p is not None:
+            chain.append(p)
+            p = p.parent
+        chain.reverse()
+        return chain
+
+    def iter_elements(self):
+        """self + all element descendants, document order."""
+        yield self
+        for c in self.children:
+            if c.is_element:
+                yield from c.iter_elements()
+
+    # -- attribute helpers -----------------------------------------------------
+    def attr(self, ns, local):
+        for a_ns, a_local, _prefix, value in self.attrs:
+            if a_ns == ns and a_local == local:
+                return value
+        return None
+
+    @property
+    def xml_lang(self):
+        return self.attr(XML_NS, "lang")
+
+    @property
+    def xml_base(self):
+        return self.attr(XML_NS, "base")
+
+
+def _split_name(name: str):
+    """expat triplet name 'uri\\x01local\\x01prefix' | 'uri\\x01local' | 'local'."""
+    parts = name.split(_SEP)
+    if len(parts) == 3:
+        return parts[0], parts[1], parts[2]
+    if len(parts) == 2:
+        return parts[0], parts[1], None
+    return None, parts[0], None
+
+
+def parse_document(content) -> Element:
+    """Parse an XML document string/bytes into the mini-DOM; raise
+    :class:`XMLParseError` on malformed input."""
+    parser = expat.ParserCreate(namespace_separator=_SEP)
+    parser.namespace_prefixes = True
+    parser.ordered_attributes = True
+    parser.buffer_text = True
+
+    root_holder: list = []
+    stack: list[Element] = []
+    pending_ns: list = []
+
+    def start_ns(prefix, uri):
+        pending_ns.append((prefix, uri or ""))
+
+    def start_element(name, attr_list):
+        ns, local, prefix = _split_name(name)
+        parent = stack[-1] if stack else None
+        el = Element(ns, local, prefix, parent)
+        el.ns_decls = list(pending_ns)
+        pending_ns.clear()
+        for i in range(0, len(attr_list), 2):
+            a_ns, a_local, a_prefix = _split_name(attr_list[i])
+            el.attrs.append((a_ns, a_local, a_prefix, attr_list[i + 1]))
+        if parent is not None:
+            parent.children.append(el)
+        else:
+            root_holder.append(el)
+        stack.append(el)
+
+    def end_element(name):
+        stack.pop()
+
+    def characters(data):
+        if not stack:
+            return
+        children = stack[-1].children
+        if children and children[-1].is_text:
+            children[-1].value += data
+        else:
+            children.append(Text(data))
+
+    parser.StartNamespaceDeclHandler = start_ns
+    parser.StartElementHandler = start_element
+    parser.EndElementHandler = end_element
+    parser.CharacterDataHandler = characters
+
+    data = content.encode("utf-8") if isinstance(content, str) else content
+    try:
+        parser.Parse(data, True)
+    except expat.ExpatError as e:  # malformed XML
+        raise XMLParseError(str(e)) from e
+    if not root_holder:
+        raise XMLParseError("no root element")
+    return root_holder[0]
+
+
+def find_rdf_islands(root: Element):
+    """All ``rdf:RDF`` elements in document order — the reference's
+    ``root.xpath("//rdf:RDF")`` (reader.rb:195), which includes the root
+    itself and does **not** skip nested islands (the XXX at reader.rb:207)."""
+    return [el for el in root.iter_elements()
+            if el.ns == RDF_NS and el.local == "RDF"]
