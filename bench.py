@@ -1,0 +1,136 @@
+"""Benchmark entry (driver contract + BASELINE.md scaling protocol).
+
+Default run: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., plus throughput extras}.
+
+``--scaling``: runs the KG-construction pipeline at local[8] and local[32]
+on the same corpus and reports throughput at both + efficiency
+(= (rate_32 / rate_8) / 4) per the BASELINE.md sandbox protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _mk_session(cpus: int, shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+    sp = shuffle_partitions or max(2 * cpus, 8)
+    return (SparkSession.builder.appName("rdf-rdfxml-bench")
+            .master(f"local[{cpus}]")
+            .config("spark.sql.shuffle.partitions", str(sp))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.skewJoin.enabled", "true")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+            .config("spark.driver.memory", "24g")
+            .getOrCreate())
+
+
+def _bench_docs(spark, sf_dir: str, replicate: int):
+    """Bench corpus: table-derived XML, replicated ``replicate``× with
+    distinct IRIs/provenance (deterministic rewriting, FIXTURES.md §5)."""
+    from pyspark.sql import functions as F
+    from rdf_rdfxml_spark.sources import documents as D
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reps = spark.range(replicate).select(F.col("id").alias("rep"))
+    # Repartition the *small* base table before the fat XML column is
+    # derived: only ~60 bytes/row shuffle instead of the built documents.
+    cores = spark.sparkContext.defaultParallelism
+    base = base.repartition(3 * cores)
+    # rewrite doc_id per replica so IRIs and content differ
+    return (base.crossJoin(reps)
+            .selectExpr("doc_id + rep * 1000000 AS doc_id", "text", "lang",
+                        "source", "n_chars")
+            .selectExpr(
+                f"({D.xml_basic_expr()}) AS content",
+                "'http://example.org/' AS base_uri",
+                "'bench' AS repo", "CAST(doc_id AS STRING) AS path",
+                "'0' AS commit"))
+
+
+def _run_kg(spark, sf_dir: str, replicate: int, parallelism: int):
+    from rdf_rdfxml_spark.plans.pipeline import construct_graph
+    docs = _bench_docs(spark, sf_dir, replicate)
+    # input already balanced upstream (cheap pre-derivation repartition)
+    g = construct_graph(docs, strict=True, repartition=None)
+    t0 = time.time()
+    n_triples = g.triples.count()
+    wall = time.time() - t0
+    return wall, n_triples
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "40"))
+
+    if "--scaling" in sys.argv:
+        out = {"protocol": "BASELINE.md two-parallelism scaling",
+               "sf": sf, "replicate": replicate}
+        rates = {}
+        for n in (8, 32):
+            spark = _mk_session(n)
+            spark.sparkContext.setLogLevel("ERROR")
+            _run_kg(spark, sf_dir, 2, n)  # warm-up (JIT, Python workers)
+            wall, n_triples = _run_kg(spark, sf_dir, replicate, n)
+            rates[n] = n_triples / wall
+            out[f"local{n}_sec"] = round(wall, 2)
+            out[f"local{n}_triples_per_sec"] = round(rates[n])
+            out["n_triples"] = n_triples
+            spark.stop()
+        out["scaling_efficiency"] = round((rates[32] / rates[8]) / 4, 3)
+        print(json.dumps(out))
+        return
+
+    spark = _mk_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as E
+
+    # warm-up: spin executors + Python workers before timing
+    spark.range(1000).selectExpr("sum(id)").collect()
+    _run_kg(spark, sf_dir, 1, cpus)
+
+    queries = {}
+    t_all0 = time.time()
+
+    t0 = time.time()
+    wall, n_triples = _run_kg(spark, sf_dir, replicate, cpus)
+    queries["kg_construct"] = round(time.time() - t0, 3)
+    kg_rate = n_triples / wall
+
+    headline = ["rdfxml_extract_basic", "rdfxml_reification",
+                "rdfxml_error_channel", "triples_dedup_global",
+                "entity_linking", "dedup_exact", "minhash_lsh", "simhash",
+                "ann_cosine_topk", "text_quality", "events_windowed"]
+    qmap = E.queries()
+    for name in headline:
+        t0 = time.time()
+        qmap[name](spark, sf_dir).count()
+        queries[name] = round(time.time() - t0, 3)
+        print(f"[bench] {name}: {queries[name]}s", file=sys.stderr)
+
+    total = round(time.time() - t_all0, 3)
+    print(json.dumps({
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "kg_triples": n_triples,
+        "kg_triples_per_sec": round(kg_rate),
+        "kg_docs_per_sec": round(kg_rate / 5),  # 5 triples per bench doc
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

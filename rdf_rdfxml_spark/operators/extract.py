@@ -1,0 +1,169 @@
+"""Triple extraction: the one vectorized UDF stage (SURVEY.md §2.2).
+
+``documents(repo, path, commit, lang, content[, base_uri])`` →
+``mapInPandas(parse_batch)`` → unified (triple | error) rows.
+
+Design notes for 100 TB scale:
+
+* The grammar is per-document and embarrassingly parallel — exactly Spark's
+  data-parallel grain. The entire recursive descent runs inside Arrow-batched
+  Python workers; the only process boundary is JVM ↔ Python Arrow IPC.
+  No per-row Python UDF dispatch happens at the Spark level (input_hint
+  mandate): one Python call handles a whole Arrow batch, and the output is
+  assembled **columnar** (dict-of-lists → pandas) — building row tuples and
+  letting pandas transpose them measured ~2× slower end-to-end.
+* Column pruning: only ``content`` + key columns are read by this stage —
+  keep the select-list minimal upstream so Parquet/Iceberg scans prune.
+* Output is chunked every ``_FLUSH_ROWS`` rows so a batch of fat documents
+  can't balloon one Arrow record batch (Python-worker memory stays
+  O(largest doc + flush buffer)).
+* Failures are per-document: malformed XML, grammar violations, hostile
+  nesting all become ``rec='error'`` rows (W3C negative-syntax semantics,
+  reader.rb:225-227); a poison document can never fail a task, so task
+  retries and checkpoint-resume stay deterministic.
+* Blank-node ids are ``b:<sha256(content)>:<n>`` — stable across retries
+  and cluster sizes (SURVEY.md §2.4 D1), so re-running any partition
+  yields byte-identical output (idempotent writes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from ..parser.grammar import parse_rdfxml
+from ..schema import EXTRACT_SCHEMA
+
+_FLUSH_ROWS = 50_000
+_COLUMNS = [f.name for f in EXTRACT_SCHEMA.fields]
+
+
+class _ColumnBuffer:
+    """Columnar accumulator for extraction output rows."""
+
+    __slots__ = ("cols", "n")
+
+    def __init__(self):
+        self.cols = [[] for _ in _COLUMNS]
+        self.n = 0
+
+    def add_triple(self, s, p, o, doc_sha, repo, path, commit):
+        c = self.cols
+        c[0].append("triple")
+        c[1].append(s[1])
+        c[2].append(s[0])
+        c[3].append(p)
+        if o[0] == "literal":
+            c[4].append(o[1])
+            c[5].append("literal")
+            c[6].append(o[2])
+            c[7].append(o[3])
+        else:
+            c[4].append(o[1])
+            c[5].append(o[0])
+            c[6].append(None)
+            c[7].append(None)
+        c[8].append(doc_sha)
+        c[9].append(repo)
+        c[10].append(path)
+        c[11].append(commit)
+        self.n += 1
+
+    def add_error(self, message, doc_sha, repo, path, commit):
+        c = self.cols
+        c[0].append("error")
+        for i in (1, 2, 3):
+            c[i].append(None)
+        c[4].append(message)
+        for i in (5, 6, 7):
+            c[i].append(None)
+        c[8].append(doc_sha)
+        c[9].append(repo)
+        c[10].append(path)
+        c[11].append(commit)
+        self.n += 1
+
+    def flush(self) -> pd.DataFrame:
+        pdf = pd.DataFrame(
+            {name: col for name, col in zip(_COLUMNS, self.cols)},
+            copy=False)
+        self.cols = [[] for _ in _COLUMNS]
+        self.n = 0
+        return pdf
+
+
+def _make_parse_batch(has_base: bool, has_prov: bool, strict: bool):
+    def parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Hostile nesting headroom; RecursionError is still caught per-doc.
+        sys.setrecursionlimit(50_000)
+        sha256 = hashlib.sha256
+        buf = _ColumnBuffer()
+        for pdf in batches:
+            contents = pdf["content"].values
+            bases = pdf["base_uri"].values if has_base else None
+            repos = pdf["repo"].values if has_prov else None
+            paths = pdf["path"].values if has_prov else None
+            commits = pdf["commit"].values if has_prov else None
+            for i in range(len(pdf)):
+                content = contents[i]
+                data = (content.encode("utf-8")
+                        if isinstance(content, str) else content)
+                doc_sha = sha256(data).hexdigest()
+                triples, errors = parse_rdfxml(
+                    data, base_uri=bases[i] if bases is not None else "",
+                    doc_key=doc_sha, strict=strict)
+                repo = repos[i] if repos is not None else None
+                path = paths[i] if paths is not None else None
+                commit = commits[i] if commits is not None else None
+                for s, p, o in triples:
+                    buf.add_triple(s, p, o, doc_sha, repo, path, commit)
+                for message in errors:
+                    buf.add_error(message, doc_sha, repo, path, commit)
+                if buf.n >= _FLUSH_ROWS:
+                    yield buf.flush()
+        if buf.n:
+            yield buf.flush()
+
+    return parse_batch
+
+
+def extract(documents: DataFrame, *, strict: bool = True) -> DataFrame:
+    """Run the RDF/XML grammar over a documents DataFrame.
+
+    Input columns: ``content`` (required); ``base_uri`` (optional — default
+    empty, mirroring the reference's ``base_uri:`` reader option);
+    ``repo``/``path``/``commit`` provenance (optional, passed through).
+
+    Returns the unified extraction DataFrame (EXTRACT_SCHEMA): filter
+    ``rec='triple'`` / ``rec='error'`` for the two channels, or use
+    :func:`rdf_rdfxml_spark.plans.pipeline.construct_graph`.
+    """
+    cols = set(documents.columns)
+    has_base = "base_uri" in cols
+    has_prov = {"repo", "path", "commit"} <= cols
+    keep = ["content"]
+    if has_base:
+        keep.append("base_uri")
+    if has_prov:
+        keep += ["repo", "path", "commit"]
+    # Explicit projection so Catalyst prunes every other column at the scan.
+    pruned = documents.select(*keep)
+    return pruned.mapInPandas(
+        _make_parse_batch(has_base, has_prov, strict), schema=EXTRACT_SCHEMA)
+
+
+def triples_channel(extracted: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+    return extracted.filter(F.col("rec") == "triple").drop("rec")
+
+
+def errors_channel(extracted: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+    return (extracted.filter(F.col("rec") == "error")
+            .select("doc_sha", "repo", "path", "commit",
+                    F.col("o").alias("error")))

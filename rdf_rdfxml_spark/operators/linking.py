@@ -1,0 +1,137 @@
+"""IRI / entity linking (SURVEY.md §2.4 D2).
+
+Replaces the reference's process-global ``RDF::URI.intern`` cache
+(reader.rb:130,692) with an explicit distributed dictionary:
+
+1. **Dictionary build** — distinct terms over all three positions with
+   stable 64-bit ids (``xxhash64`` of the canonical term encoding — no
+   global sort, no window bottleneck; ids are reproducible across runs and
+   cluster sizes, which a ``zipWithIndex``/row_number id would not be).
+2. **Encode** — join triples ↔ dictionary per position.
+
+Skew is structural here: at 10¹²-file scale a handful of IRIs
+(``rdf:type``, top vocabulary terms) dominate the object/predicate columns.
+Mitigations, in order:
+
+* dictionaries are usually small relative to the fact table → **broadcast
+  join** below ``broadcast_threshold`` rows (no shuffle of the triple table
+  at all);
+* above the threshold, **salted repartition join**: the *build* side is
+  exploded ``salt_factor`` ways and the probe side picks a deterministic
+  salt from a sharded hash, so one hot key spreads over ``salt_factor``
+  reducers (SparkER-style key salting);
+* AQE skew-join splitting stays on as backstop
+  (``spark.sql.adaptive.skewJoin.enabled``).
+
+A dense ``term_id`` (row_number) variant is provided for compact dictionary
+encoding where reproducible hashing is not required — it costs a global
+sort and is therefore not the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def term_key(kind_col, value_col, lang_col=None, dt_col=None):
+    """Canonical string encoding of a term, used as the dictionary key."""
+    lang = lang_col if lang_col is not None else F.lit(None)
+    dt = dt_col if dt_col is not None else F.lit(None)
+    return F.concat_ws(
+        "\x00", kind_col, value_col,
+        F.coalesce(lang, F.lit("")), F.coalesce(dt, F.lit("")))
+
+
+def build_term_dictionary(triples: DataFrame, dense_ids: bool = False) -> DataFrame:
+    """Distinct terms across s/p/o with a stable ``term_id``.
+
+    Output: ``term_id, kind, value, lang, dt``.
+    """
+    subjects = triples.select(
+        F.col("s_kind").alias("kind"), F.col("s").alias("value"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("dt"))
+    predicates = triples.select(
+        F.lit("iri").alias("kind"), F.col("p").alias("value"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("dt"))
+    objects = triples.select(
+        F.col("o_kind").alias("kind"), F.col("o").alias("value"),
+        F.col("o_lang").alias("lang"), F.col("o_dt").alias("dt"))
+    terms = subjects.unionByName(predicates).unionByName(objects) \
+        .dropDuplicates(["kind", "value", "lang", "dt"])
+    if dense_ids:
+        # Compact 0..N-1 ids; global sort — test/compaction use only.
+        w = Window.orderBy("kind", "value", "lang", "dt")
+        return terms.withColumn("term_id",
+                                F.row_number().over(w).cast("long") - 1)
+    return terms.withColumn(
+        "term_id",
+        F.xxhash64(term_key(F.col("kind"), F.col("value"),
+                            F.col("lang"), F.col("dt"))))
+
+
+def encode_triples(
+    triples: DataFrame,
+    dictionary: DataFrame,
+    *,
+    broadcast_threshold: int | None = 10_000_000,
+    salt_factor: int = 0,
+) -> DataFrame:
+    """Encode (s, p, o) to (s_id, p_id, o_id) via the term dictionary.
+
+    ``broadcast_threshold``: when set and the dictionary fits (caller's
+    estimate — pass ``None`` to force the shuffle path), the dictionary is
+    broadcast: three map-side joins, zero shuffle of the fact table.
+
+    ``salt_factor > 0``: salted repartition join for the skewed non-broadcast
+    case — the dictionary side is replicated ``salt_factor`` ways, the fact
+    side picks ``pmod(xxhash64(key, partition-entropy), salt_factor)``.
+    """
+    dict_slim = dictionary.select(
+        "term_id", term_key(F.col("kind"), F.col("value"),
+                            F.col("lang"), F.col("dt")).alias("tk"))
+
+    s_key = term_key(F.col("s_kind"), F.col("s"))
+    p_key = term_key(F.lit("iri"), F.col("p"))
+    o_key = term_key(F.col("o_kind"), F.col("o"), F.col("o_lang"),
+                     F.col("o_dt"))
+
+    fact = (triples
+            .withColumn("_sk", s_key)
+            .withColumn("_pk", p_key)
+            .withColumn("_ok", o_key))
+
+    if broadcast_threshold is not None:
+        d = F.broadcast(dict_slim)
+        out = (fact
+               .join(d.withColumnRenamed("term_id", "s_id"),
+                     fact["_sk"] == d["tk"], "left").drop("tk")
+               .join(d.withColumnRenamed("term_id", "p_id"),
+                     F.col("_pk") == d["tk"], "left").drop("tk")
+               .join(d.withColumnRenamed("term_id", "o_id"),
+                     F.col("_ok") == d["tk"], "left").drop("tk"))
+        return out.drop("_sk", "_pk", "_ok")
+
+    if salt_factor > 0:
+        d_salted = dict_slim.withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(salt_factor)])))
+        out = fact
+        for pos, key_col in (("s_id", "_sk"), ("p_id", "_pk"), ("o_id", "_ok")):
+            probe = out.withColumn(
+                "salt",
+                F.pmod(F.xxhash64(F.col(key_col), F.lit(pos)),
+                       F.lit(salt_factor)).cast("int"))
+            out = (probe.join(
+                d_salted.withColumnRenamed("term_id", pos),
+                (probe[key_col] == d_salted["tk"])
+                & (probe["salt"] == d_salted["salt"]), "left")
+                .drop("tk").drop(d_salted["salt"]).drop("salt"))
+        return out.drop("_sk", "_pk", "_ok")
+
+    out = fact
+    for pos, key_col in (("s_id", "_sk"), ("p_id", "_pk"), ("o_id", "_ok")):
+        out = (out.join(dict_slim.withColumnRenamed("term_id", pos),
+                        out[key_col] == dict_slim["tk"], "left").drop("tk"))
+    return out.drop("_sk", "_pk", "_ok")

@@ -1,0 +1,259 @@
+"""RDF/XML writer: triples → document (SURVEY.md §2.3, W1-W10).
+
+Reimplements the reference writer's pipeline
+(``/root/reference/lib/rdf/rdfxml/writer.rb``) Spark-first:
+
+* the graph-global passes (reference ``preprocess``/``order_subjects``,
+  writer.rb:409-482) become plain aggregations over the per-group triple
+  set inside an ``applyInPandas`` grouped-map stage — serialization is
+  per-output-document and therefore data-parallel, the Spark-native grain;
+* QName minting follows ``get_qname``/``ensure_qname`` (writer.rb:546-612):
+  split each IRI at the last non-NCName boundary, mint ``ns0, ns1, …`` for
+  unknown namespaces;
+* subject ordering is the reference's ``(is_bnode, ref_count, subject)``
+  sort (writer.rb:452-482);
+* referenced-once blank nodes nest anonymously up to ``max_depth``
+  (default 10, writer.rb:153); multiply-referenced bnodes get
+  ``rdf:nodeID`` (writer.rb:274);
+* well-formed ``rdf:first/rest/nil`` chains re-sugar to
+  ``parseType="Collection"`` (writer.rb:307-368);
+* XMLLiteral values embed verbatim under ``parseType="Literal"``
+  (writer.rb:347 + extensions.rb whitespace rules).
+
+Round-trip parity (write → re-parse → isomorphic graph) is the correctness
+contract, mirroring spec/writer_spec.rb:685-706.
+"""
+
+from __future__ import annotations
+
+import re
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_TYPE = RDF_NS + "type"
+RDF_FIRST = RDF_NS + "first"
+RDF_REST = RDF_NS + "rest"
+RDF_NIL = RDF_NS + "nil"
+RDF_XMLLITERAL = RDF_NS + "XMLLiteral"
+
+_NC_END = re.compile(r"[A-Za-z_][A-Za-z0-9_.\-]*$")
+
+
+def _escape_text(v: str) -> str:
+    return v.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _escape_attr(v: str) -> str:
+    return (v.replace("&", "&amp;").replace("<", "&lt;")
+            .replace('"', "&quot;"))
+
+
+def _split_iri(iri: str):
+    """Namespace/local split at the last non-NCName boundary
+    (ensure_qname, writer.rb:591-612). Returns (ns, local) or None."""
+    m = _NC_END.search(iri)
+    if not m or m.start() == 0:
+        return None
+    local = m.group(0)
+    # keep '#' or '/' boundary on the namespace side
+    return iri[: m.start()], local
+
+
+class _QNames:
+    def __init__(self):
+        self.ns_to_prefix = {RDF_NS: "rdf"}
+        self._n = 0
+
+    def qname(self, iri: str):
+        parts = _split_iri(iri)
+        if not parts:
+            return None
+        ns, local = parts
+        prefix = self.ns_to_prefix.get(ns)
+        if prefix is None:
+            prefix = f"ns{self._n}"
+            self._n += 1
+            self.ns_to_prefix[ns] = prefix
+        return f"{prefix}:{local}"
+
+
+def _term(row):
+    """Row dict -> term tuple."""
+    if row["o_kind"] == "literal":
+        return ("literal", row["o"], row.get("o_lang"), row.get("o_dt"))
+    return (row["o_kind"], row["o"])
+
+
+def serialize_graph(rows, base_uri: str | None = None,
+                    max_depth: int = 10, lang: str | None = None) -> str:
+    """Serialize triple rows (dicts with s, s_kind, p, o, o_kind, o_lang,
+    o_dt) to one RDF/XML document string."""
+    subjects: dict[tuple, list] = {}
+    ref_count: dict[tuple, int] = {}
+    for r in rows:
+        skey = (r["s_kind"], r["s"])
+        subjects.setdefault(skey, []).append(r)
+        o = _term(r)
+        if o[0] in ("iri", "bnode"):
+            okey = (o[0], o[1])
+            ref_count[okey] = ref_count.get(okey, 0) + 1
+
+    qn = _QNames()
+    # Pre-mint QNames for all predicates and type objects (preprocess,
+    # writer.rb:431-444) so the xmlns block is complete before rendering.
+    for rs in subjects.values():
+        for r in rs:
+            qn.qname(r["p"])
+            if r["p"] == RDF_TYPE and r["o_kind"] == "iri":
+                qn.qname(r["o"])
+
+    # Collection detection: bnode cells with exactly first+rest.
+    def list_chain(head):
+        chain = []
+        cur = head
+        seen = set()
+        while True:
+            if cur == ("iri", RDF_NIL):
+                return chain
+            if cur[0] != "bnode" or cur in seen:
+                return None
+            seen.add(cur)
+            cell = subjects.get(cur)
+            if not cell or len(cell) != 2:
+                return None
+            first = [r for r in cell if r["p"] == RDF_FIRST]
+            rest = [r for r in cell if r["p"] == RDF_REST]
+            if len(first) != 1 or len(rest) != 1:
+                return None
+            if ref_count.get(cur, 0) > 1:
+                return None
+            chain.append((cur, _term(first[0])))
+            cur = _term(rest[0])
+
+    serialized: set = set()
+
+    def render_object_nested(o, depth):
+        """Can/should this object be rendered as a nested node element?"""
+        return (o in subjects and o not in serialized
+                and ref_count.get(o, 0) <= 1 and depth < max_depth)
+
+    def render_subject(skey, depth, indent):
+        serialized.add(skey)
+        rs = subjects[skey]
+        types = [r for r in rs if r["p"] == RDF_TYPE
+                 and r["o_kind"] == "iri" and qn.qname(r["o"])]
+        others = [r for r in rs if r not in types[:1]]
+        elt = qn.qname(types[0]["o"]) if types else "rdf:Description"
+
+        attrs = []
+        if skey[0] == "iri":
+            attrs.append(f' rdf:about="{_escape_attr(skey[1])}"')
+        elif ref_count.get(skey, 0) >= 1 and depth == 0:
+            # referenced bnode at top level needs a stable label
+            attrs.append(f' rdf:nodeID="{_bnode_label(skey[1])}"')
+        pad = "  " * (indent + 1)
+        out = [f'{"  " * indent}<{elt}{"".join(attrs)}>']
+        for r in others:
+            pq = qn.qname(r["p"]) or "rdf:Description"
+            o = _term(r)
+            if o[0] == "literal":
+                _v, value, olang, odt = o
+                if odt == RDF_XMLLITERAL:
+                    out.append(f'{pad}<{pq} rdf:parseType="Literal">'
+                               f'{value}</{pq}>')
+                elif odt:
+                    out.append(f'{pad}<{pq} rdf:datatype="{_escape_attr(odt)}"'
+                               f'>{_escape_text(value)}</{pq}>')
+                elif olang:
+                    out.append(f'{pad}<{pq} xml:lang="{olang}">'
+                               f'{_escape_text(value)}</{pq}>')
+                else:
+                    out.append(f'{pad}<{pq}>{_escape_text(value)}</{pq}>')
+                continue
+            okey = (o[0], o[1])
+            chain = list_chain(okey) if okey[0] == "bnode" else None
+            if chain is not None and chain:
+                items = []
+                for cell, member in chain:
+                    serialized.add(cell)
+                    if member[0] == "iri":
+                        items.append(f'{pad}  <rdf:Description rdf:about='
+                                     f'"{_escape_attr(member[1])}"/>')
+                    elif member[0] == "bnode" and (member[0], member[1]) in subjects:
+                        items.append(render_subject(
+                            (member[0], member[1]), depth + 1, indent + 2))
+                    else:
+                        items.append(f'{pad}  <rdf:Description rdf:nodeID='
+                                     f'"{_bnode_label(member[1])}"/>')
+                out.append(f'{pad}<{pq} rdf:parseType="Collection">')
+                out.extend(items)
+                out.append(f'{pad}</{pq}>')
+            elif okey == ("iri", RDF_NIL) and chain == []:
+                out.append(f'{pad}<{pq} rdf:parseType="Collection"></{pq}>')
+            elif okey[0] == "bnode":
+                if render_object_nested(okey, depth):
+                    out.append(f"{pad}<{pq}>")
+                    out.append(render_subject(okey, depth + 1, indent + 2))
+                    out.append(f"{pad}</{pq}>")
+                else:
+                    out.append(f'{pad}<{pq} rdf:nodeID='
+                               f'"{_bnode_label(okey[1])}"/>')
+            else:
+                out.append(f'{pad}<{pq} rdf:resource='
+                           f'"{_escape_attr(okey[1])}"/>')
+        out.append(f'{"  " * indent}</{elt}>')
+        return "\n".join(out)
+
+    # order_subjects (writer.rb:452-482): base first, then
+    # (is_bnode, ref_count, subject)
+    def order_key(skey):
+        is_base = 0 if (base_uri and skey == ("iri", base_uri)) else 1
+        return (is_base, 1 if skey[0] == "bnode" else 0,
+                ref_count.get(skey, 0), skey[1])
+
+    body = []
+    for skey in sorted(subjects, key=order_key):
+        if skey in serialized:
+            continue
+        # top-level: skip bnodes that will be nested under their referrer
+        if skey[0] == "bnode" and ref_count.get(skey, 0) == 1:
+            continue
+        body.append(render_subject(skey, 0, 1))
+    # second pass: anything left (cycles among referenced-once bnodes)
+    for skey in sorted(subjects, key=order_key):
+        if skey not in serialized:
+            body.append(render_subject(skey, 0, 1))
+
+    ns_attrs = "".join(
+        f'\n   xmlns:{p}="{_escape_attr(ns)}"'
+        for ns, p in sorted(qn.ns_to_prefix.items(), key=lambda kv: kv[1]))
+    base_attr = f'\n   xml:base="{_escape_attr(base_uri)}"' if base_uri else ""
+    lang_attr = f'\n   xml:lang="{lang}"' if lang else ""
+    return ('<?xml version="1.0" encoding="UTF-8"?>\n'
+            f"<rdf:RDF{ns_attrs}{base_attr}{lang_attr}>\n"
+            + "\n".join(body) + "\n</rdf:RDF>\n")
+
+
+def _bnode_label(bid: str) -> str:
+    """Deterministic NCName label from a pipeline bnode id
+    (``b:<sha>:<n>`` → ``b<sha8><n>``)."""
+    parts = bid.split(":")
+    if len(parts) == 3 and parts[0] == "b":
+        return f"b{parts[1][:12]}x{parts[2]}"
+    return "b" + re.sub(r"[^A-Za-z0-9_]", "x", bid)
+
+
+def write_rdfxml(triples, group_cols=("doc_sha",), base_uri_col=None):
+    """Spark stage: grouped-map serialization — one RDF/XML document per
+    group (applyInPandas; per-document data-parallel, SURVEY.md §2.3)."""
+    import pandas as pd
+
+    group_cols = list(group_cols)
+    schema = ", ".join(f"{c} string" for c in group_cols) + ", xml string"
+
+    def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = pdf.to_dict("records")
+        xml = serialize_graph(rows)
+        return pd.DataFrame([list(key) + [xml]],
+                            columns=group_cols + ["xml"])
+
+    return triples.groupBy(*group_cols).applyInPandas(render, schema=schema)

@@ -1,0 +1,152 @@
+"""Spark-level tests: extraction stage, dedup, linking, materialize/resume,
+metrics — correctness of the distributed stages (SURVEY.md §2.4) at test
+scale, with golden-isomorphism checks per document.
+"""
+import pytest
+
+from pyspark.sql import functions as F
+
+from rdf_rdfxml_spark.operators.dedup import dedup_document, dedup_global
+from rdf_rdfxml_spark.operators.extract import extract, triples_channel, errors_channel
+from rdf_rdfxml_spark.operators.linking import build_term_dictionary, encode_triples
+from rdf_rdfxml_spark.operators.materialize import (
+    assign_units, pending_units, record_units, resumable_run,
+)
+from rdf_rdfxml_spark.operators.metrics import corpus_metrics, partition_metrics
+from rdf_rdfxml_spark.plans.pipeline import construct_graph
+from rdf_rdfxml_spark.sources.fixtures import corpus
+from rdf_rdfxml_spark.functions.nt import isomorphic
+
+INPUT_COLS = ("repo", "path", "commit", "lang", "content", "base_uri")
+
+
+@pytest.fixture(scope="module")
+def fixture_rows():
+    return corpus(instances_per_category=2)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, fixture_rows):
+    rows = [{k: r[k] for k in INPUT_COLS} for r in fixture_rows]
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def graph(spark, docs_df):
+    g = construct_graph(docs_df, strict=True, repartition=4)
+    g.triples.cache().count()
+    return g
+
+
+def _term(row, which):
+    if which == "s":
+        return (row["s_kind"], row["s"])
+    if row["o_kind"] == "literal":
+        return ("literal", row["o"], row["o_lang"], row["o_dt"])
+    return (row["o_kind"], row["o"])
+
+
+def test_every_positive_doc_matches_golden(graph, fixture_rows):
+    by_sha = {}
+    for r in graph.triples.collect():
+        by_sha.setdefault(r["doc_sha"], []).append(
+            (_term(r, "s"), r["p"], _term(r, "o")))
+    import hashlib
+    checked = 0
+    for row in fixture_rows:
+        if row["negative"]:
+            continue
+        sha = hashlib.sha256(row["content"].encode()).hexdigest()
+        got = by_sha.get(sha, [])
+        assert isomorphic(got, row["golden"]), (row["category"], row["path"])
+        checked += 1
+    assert checked > 20
+
+
+def test_negative_docs_go_to_error_channel(graph, fixture_rows):
+    import hashlib
+    err_shas = {r["doc_sha"] for r in graph.errors.collect()}
+    triple_shas = {r["doc_sha"] for r in graph.triples.collect()}
+    for row in fixture_rows:
+        if not row["negative"]:
+            continue
+        sha = hashlib.sha256(row["content"].encode()).hexdigest()
+        assert sha in err_shas, row["category"]
+        assert sha not in triple_shas, row["category"]
+
+
+def test_lineage_doc_sha_matches_spark_sha2(spark, docs_df, graph):
+    # BASELINE.json per-row invariant: doc_sha == sha256(content)
+    expected = docs_df.select(F.sha2(F.col("content"), 256).alias("doc_sha"))
+    missing = (graph.triples.select("doc_sha").distinct()
+               .join(expected.distinct(), "doc_sha", "left_anti").count())
+    assert missing == 0
+
+
+def test_provenance_passthrough(graph):
+    assert graph.triples.filter(
+        "repo is null or path is null or commit is null").count() == 0
+
+
+def test_dedup_document_and_global(spark):
+    # same triple twice in one doc + same logical triple in a second doc
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:ex="http://e/">
+      <rdf:Description rdf:about="http://a/"><ex:p>v</ex:p><ex:p>v</ex:p></rdf:Description>
+    </rdf:RDF>"""
+    doc2 = doc.replace("<ex:p>v</ex:p><ex:p>v</ex:p>", "<ex:p>v</ex:p>")
+    docs = spark.createDataFrame(
+        [{"content": doc, "base_uri": ""}, {"content": doc2, "base_uri": ""}])
+    triples = triples_channel(extract(docs))
+    assert triples.count() == 3
+    assert dedup_document(triples).count() == 2
+    assert dedup_global(triples).count() == 1
+
+
+def test_linking_roundtrip_broadcast_and_salted(spark, graph):
+    d = build_term_dictionary(graph.triples)
+    n = graph.triples.count()
+    for kwargs in ({"broadcast_threshold": 10_000},
+                   {"broadcast_threshold": None, "salt_factor": 4},
+                   {"broadcast_threshold": None}):
+        enc = encode_triples(graph.triples, d, **kwargs)
+        assert enc.count() == n
+        assert enc.filter(
+            "s_id is null or p_id is null or o_id is null").count() == 0
+    # ids are stable functions of the term → same term, same id everywhere
+    dup = (d.groupBy("term_id").count().filter("count > 1").count())
+    assert dup == 0
+
+
+def test_dense_ids_are_contiguous(spark, graph):
+    d = build_term_dictionary(graph.triples, dense_ids=True)
+    n = d.count()
+    mn, mx = d.agg(F.min("term_id"), F.max("term_id")).first()
+    assert (mn, mx) == (0, n - 1)
+
+
+def test_metrics(graph):
+    m = corpus_metrics(graph.extracted).first()
+    assert m["triples"] > 0 and m["errors"] > 0
+    assert m["docs_with_errors"] < m["docs"]
+    pm = partition_metrics(graph.extracted)
+    assert pm.agg(F.sum("triples")).first()[0] == m["triples"]
+
+
+def test_resumable_run_completes_and_is_idempotent(spark, docs_df, tmp_path):
+    out = str(tmp_path / "triples")
+    manifest = str(tmp_path / "manifest")
+    r1 = resumable_run(spark, docs_df, out, manifest, n_units=8,
+                       units_per_batch=3)
+    assert r1["units_done"] == r1["units_total"] > 0
+    n1 = spark.read.parquet(out).count()
+    # second run: nothing pending, no new rows
+    r2 = resumable_run(spark, docs_df, out, manifest, n_units=8,
+                       units_per_batch=3)
+    assert r2["units_total"] == 0
+    assert spark.read.parquet(out).count() == n1
+    # resume after losing the last manifest batch → re-runs only that unit,
+    # deterministic ids make re-appended rows exact duplicates
+    docs_u = assign_units(docs_df, 8)
+    pend = pending_units(spark, docs_u, manifest)
+    assert pend.count() == 0

@@ -1,0 +1,105 @@
+"""Writer round-trip tests (the reference's strongest writer contract:
+golden graph → write RDF/XML → re-parse → isomorphic,
+spec/writer_spec.rb:685-706).
+"""
+import pytest
+
+from rdf_rdfxml_spark.parser.grammar import parse_rdfxml
+from rdf_rdfxml_spark.functions.nt import isomorphic, triple_to_nt
+from rdf_rdfxml_spark.sources.fixtures import corpus
+from rdf_rdfxml_spark.writer.serialize import serialize_graph
+
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def _rows(triples):
+    rows = []
+    for s, p, o in triples:
+        row = {"s": s[1], "s_kind": s[0], "p": p,
+               "o": o[1], "o_kind": o[0],
+               "o_lang": o[2] if o[0] == "literal" else None,
+               "o_dt": o[3] if o[0] == "literal" else None}
+        rows.append(row)
+    return rows
+
+
+def _roundtrip(triples):
+    xml = serialize_graph(_rows(triples))
+    reparsed, errors = parse_rdfxml(xml, base_uri="", doc_key="rt")
+    assert not errors, (errors, xml)
+    return reparsed, xml
+
+
+@pytest.mark.parametrize("row", [
+    r for r in corpus(instances_per_category=2) if not r["negative"]
+], ids=lambda r: r["path"])
+def test_roundtrip_fixture(row):
+    triples, errors = parse_rdfxml(row["content"], base_uri=row["base_uri"],
+                                   doc_key="t")
+    assert not errors
+    reparsed, xml = _roundtrip(triples)
+    assert isomorphic(reparsed, triples), (
+        xml + "\n-- original --\n"
+        + "\n".join(sorted(triple_to_nt(t) for t in triples))
+        + "\n-- reparsed --\n"
+        + "\n".join(sorted(triple_to_nt(t) for t in reparsed)))
+
+
+def test_roundtrip_doap():
+    doap = open("/root/reference/etc/doap.rdf").read()
+    triples, errors = parse_rdfxml(
+        doap, base_uri="https://rubygems.org/gems/rdf-rdfxml", doc_key="d")
+    assert not errors
+    reparsed, xml = _roundtrip(triples)
+    assert isomorphic(reparsed, triples), xml
+
+
+def test_typed_subject_uses_type_element():
+    triples = [
+        (("iri", "http://a/x"), RDF + "type", ("iri", "http://v/Widget")),
+        (("iri", "http://a/x"), "http://v/name", ("literal", "n", None, None)),
+    ]
+    xml = serialize_graph(_rows(triples))
+    assert "<ns0:Widget" in xml or ":Widget" in xml
+    reparsed, _ = parse_rdfxml(xml, base_uri="", doc_key="x")
+    assert isomorphic(reparsed, triples)
+
+
+def test_collection_resugars():
+    triples, errors = parse_rdfxml(f"""
+      <rdf:RDF xmlns:rdf="{RDF}" xmlns:ex="http://e/">
+        <rdf:Description rdf:about="http://a/">
+          <ex:l rdf:parseType="Collection">
+            <rdf:Description rdf:about="http://m/1"/>
+            <rdf:Description rdf:about="http://m/2"/>
+          </ex:l>
+        </rdf:Description>
+      </rdf:RDF>""", base_uri="", doc_key="c")
+    assert not errors
+    xml = serialize_graph(_rows(triples))
+    assert 'rdf:parseType="Collection"' in xml
+    reparsed, _ = parse_rdfxml(xml, base_uri="", doc_key="c2")
+    assert isomorphic(reparsed, triples)
+
+
+def test_shared_bnode_gets_nodeid():
+    b = ("bnode", "b:deadbeef:0")
+    triples = [
+        (("iri", "http://a/1"), "http://v/p", b),
+        (("iri", "http://a/2"), "http://v/p", b),
+        (b, "http://v/name", ("literal", "shared", None, None)),
+    ]
+    xml = serialize_graph(_rows(triples))
+    assert xml.count("rdf:nodeID") >= 2
+    reparsed, _ = parse_rdfxml(xml, base_uri="", doc_key="s")
+    assert isomorphic(reparsed, triples)
+
+
+def test_xmlliteral_embeds_verbatim():
+    lit = 'x <ex:b xmlns:ex="http://e/">y</ex:b> z'
+    triples = [(("iri", "http://a/"), "http://v/m",
+                ("literal", lit, None, RDF + "XMLLiteral"))]
+    xml = serialize_graph(_rows(triples))
+    assert 'rdf:parseType="Literal"' in xml
+    reparsed, _ = parse_rdfxml(xml, base_uri="", doc_key="x")
+    assert isomorphic(reparsed, triples)

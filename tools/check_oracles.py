@@ -1,0 +1,116 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB over the same sf dir, compare
+row count, column names/types, and an order-insensitive value hash.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _norm(v):
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def value_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted(
+        "\x01".join(_norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from rdf_rdfxml_spark.plans.pipeline import default_session
+
+    spark = default_session(app="oracle-check", master="local[8]",
+                            shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark raised {type(e).__name__}: {str(e)[:200]}")
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle (rows-only: {len(srows)})")
+            continue
+        try:
+            res = con.sql(oracles[name])
+            ocols = [c.lower() for c in res.columns]
+            orows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb raised: {str(e)[:200]}")
+            continue
+        scols_l = [c.lower() for c in scols]
+        problems = []
+        if sorted(scols_l) != sorted(ocols):
+            problems.append(f"columns {sorted(scols_l)} != {sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rows {len(srows)} != {len(orows)}")
+        if not problems:
+            sh = value_hash([tuple(r) for r in srows], scols_l)
+            oh = value_hash(orows, ocols)
+            if sh != oh:
+                problems.append("value hash mismatch")
+                # show a sample diff
+                sset = {tuple(map(_norm, r)) for r in
+                        ([r[i] for i in sorted(range(len(scols_l)),
+                          key=lambda i: scols_l[i])] for r in srows)}
+                oset = {tuple(map(_norm, r)) for r in
+                        ([r[i] for i in sorted(range(len(ocols)),
+                          key=lambda i: ocols[i])] for r in orows)}
+                for x in list(sset - oset)[:3]:
+                    print(f"   spark-only: {x}")
+                for x in list(oset - sset)[:3]:
+                    print(f"   oracle-only: {x}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: {'; '.join(problems)}")
+        else:
+            print(f"PASS {name} ({len(srows)} rows)")
+    print(f"\n{len(failures)} failures" if failures
+          else "\nALL ORACLE CHECKS PASS")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
