@@ -1,0 +1,65 @@
+"""Structured Streaming front-end (SURVEY.md §2.5 — streaming disposition).
+
+The reference is strictly batch (whole-document DOM, reader.rb:161), so
+streaming here means *incremental ingest of new documents*: a
+``readStream`` over the documents table feeding the identical extraction
+stage via ``foreachBatch``, with the resume manifest making restarts
+exactly-once at the sink (deterministic bnode ids + idempotent appends).
+
+Also provides the watermarked windowed aggregation over the ``events``
+table — the standard late-data pattern (the batch-equivalent query is
+oracle-checked as ``events_windowed`` in ``__spark_entry__``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import extract, triples_channel
+from ..operators.materialize import with_bucket
+from ..schema import DOCUMENTS_SCHEMA
+
+
+def stream_documents(spark: SparkSession, input_path: str,
+                     schema=DOCUMENTS_SCHEMA,
+                     max_files_per_trigger: int = 16) -> DataFrame:
+    """File-source stream of document rows (new parquet files appear as the
+    upstream crawler lands them)."""
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(input_path))
+
+
+def stream_construct(docs_stream: DataFrame, output_path: str,
+                     checkpoint_path: str, *, strict: bool = True,
+                     n_buckets: int = 16):
+    """documents stream → triples parquet, via foreachBatch of the batch
+    extraction stage (one code path for batch and streaming — the UDF and
+    its semantics are identical)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        triples = with_bucket(
+            triples_channel(extract(batch_df, strict=strict)), n_buckets)
+        (triples.write.mode("append").partitionBy("bucket")
+         .parquet(output_path))
+
+    return (docs_stream.writeStream
+            .option("checkpointLocation", checkpoint_path)
+            .foreachBatch(process)
+            .trigger(availableNow=True))
+
+
+def windowed_event_counts(events: DataFrame, *, watermark: str = "2 hours",
+                          window: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window aggregation (late rows beyond the
+    watermark are dropped deterministically). Works on both a static and a
+    streaming ``events`` DataFrame."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .alias("value_cents"))
+            .select(F.unix_timestamp(F.col("w.start")).alias("window_start"),
+                    "event_type", "n", "value_cents"))
