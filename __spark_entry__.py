@@ -107,6 +107,50 @@ def q_extract_nested_bnode(spark, sf_dir):
             .select(*TRIPLE_COLS))
 
 
+def q_extract_xmlliteral(spark, sf_dir):
+    return (triples_channel(_parse(spark, sf_dir, D.xml_xmlliteral_expr()))
+            .select(*TRIPLE_COLS))
+
+
+def q_extract_xmlbase(spark, sf_dir):
+    return (triples_channel(_parse(spark, sf_dir, D.xml_xmlbase_expr()))
+            .select(*TRIPLE_COLS))
+
+
+def q_extract_nodeid(spark, sf_dir):
+    return (triples_channel(_parse(spark, sf_dir, D.xml_nodeid_expr()))
+            .select(*TRIPLE_COLS))
+
+
+def q_roundtrip(spark, sf_dir):
+    # parse → serialize (writer) → re-parse; the basic corpus is bnode-free
+    # so the re-parsed triple set must be value-identical minus lineage.
+    from rdf_rdfxml_spark.writer.serialize import write_rdfxml
+    t = triples_channel(_parse(spark, sf_dir, D.xml_basic_expr()))
+    xml = write_rdfxml(t, group_cols=("doc_sha",))
+    reparsed = triples_channel(extract(
+        xml.selectExpr("xml AS content", "'' AS base_uri")))
+    return reparsed.select("s", "s_kind", "p", "o", "o_kind", "o_lang",
+                           "o_dt")
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir).selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    a = emb.selectExpr("vec_id AS a", "v AS va")
+    b = emb.selectExpr("vec_id AS b", "v AS vb")
+    dot = ("aggregate(zip_with(va, vb, (x, y) -> x * y), "
+           "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+    na = ("sqrt(aggregate(transform(va, x -> x * x), "
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))")
+    nb = ("sqrt(aggregate(transform(vb, x -> x * x), "
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))")
+    return (a.crossJoin(b).filter("a < b")
+            .selectExpr("a", "b", f"({dot}) / (({na}) * ({nb})) AS sim")
+            .filter("sim >= 0.4")
+            .selectExpr("a", "b", "round(sim, 4) AS sim_r"))
+
+
 def q_error_channel(spark, sf_dir):
     ext = _parse(spark, sf_dir, D.xml_maybe_broken_expr(), strict=True)
     return (errors_channel(ext)
@@ -339,7 +383,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfxml_collection": q_extract_collection,
         "rdfxml_reification": q_extract_reification,
         "rdfxml_nested_bnode": q_extract_nested_bnode,
+        "rdfxml_xmlliteral": q_extract_xmlliteral,
+        "rdfxml_xmlbase": q_extract_xmlbase,
+        "rdfxml_nodeid_shared": q_extract_nodeid,
+        "rdfxml_roundtrip": q_roundtrip,
         "rdfxml_error_channel": q_error_channel,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "rdfxml_format_sniff": q_format_sniff,
         "triples_dedup_global": q_dedup_global,
         "iri_dictionary": q_iri_dictionary,
@@ -464,6 +513,54 @@ def oracle_sql() -> dict[str, str]:
            'bnode' AS o_kind, {_NULL} AS o_lang, {_NULL} AS o_dt, doc_sha FROM b
     UNION ALL SELECT bn, 'bnode', '{VOC}origin', source, 'literal',
            {_NULL}, {_NULL}, doc_sha FROM b""",
+
+        "rdfxml_xmlliteral": _oracle_docs_cte(D.xml_xmlliteral_expr()) + f"""
+    SELECT subj AS s, 'iri' AS s_kind, '{VOC}markup' AS p,
+           'a <ex:b xmlns:ex="{VOC}">c' || CAST(doc_id AS STRING)
+             || '</ex:b>' AS o,
+           'literal' AS o_kind, {_NULL} AS o_lang,
+           '{RDF}XMLLiteral' AS o_dt, doc_sha FROM d""",
+
+        "rdfxml_xmlbase": _oracle_docs_cte(D.xml_xmlbase_expr()) + f""",
+    b AS (SELECT *, 'http://example.org/dir/file.rdf#d'
+               || CAST(doc_id AS STRING) AS sid FROM d)
+    SELECT sid AS s, 'iri' AS s_kind, '{VOC}link' AS p,
+           'http://example.org/dir/rel/' || CAST(doc_id AS STRING) AS o,
+           'iri' AS o_kind, {_NULL} AS o_lang, {_NULL} AS o_dt, doc_sha FROM b
+    UNION ALL SELECT sid, 'iri', '{VOC}up', 'http://example.org/top', 'iri',
+           {_NULL}, {_NULL}, doc_sha FROM b""",
+
+        "rdfxml_nodeid_shared": _oracle_docs_cte(D.xml_nodeid_expr()) + f""",
+    b AS (SELECT *, 'b:' || doc_sha || ':0' AS bn FROM d)
+    SELECT subj AS s, 'iri' AS s_kind, '{VOC}knows' AS p, bn AS o,
+           'bnode' AS o_kind, {_NULL} AS o_lang, {_NULL} AS o_dt, doc_sha FROM b
+    UNION ALL SELECT bn, 'bnode', '{VOC}origin', source, 'literal',
+           {_NULL}, {_NULL}, doc_sha FROM b""",
+
+        "rdfxml_roundtrip": _oracle_docs_cte(D.xml_basic_expr()) + f"""
+    SELECT subj AS s, 'iri' AS s_kind, '{RDF}type' AS p,
+           '{VOC}Document' AS o, 'iri' AS o_kind,
+           {_NULL} AS o_lang, {_NULL} AS o_dt FROM d
+    UNION ALL SELECT subj, 'iri', '{VOC}source', source, 'literal',
+           {_NULL}, {_NULL} FROM d
+    UNION ALL SELECT subj, 'iri', '{VOC}lang', lang, 'literal',
+           {_NULL}, {_NULL} FROM d
+    UNION ALL SELECT subj, 'iri', '{VOC}chars', CAST(n_chars AS STRING),
+           'literal', {_NULL}, '{XSD_INT}' FROM d
+    UNION ALL SELECT subj, 'iri', '{VOC}body', text, 'literal',
+           lang, {_NULL} FROM d""",
+
+        "dedup_embedding_cosine": """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(b.v, b.v))), 4) AS sim_r
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) *
+           sqrt(list_dot_product(b.v, b.v))) >= 0.4""",
 
         "rdfxml_error_channel": (
             _oracle_docs_cte(D.xml_maybe_broken_expr())

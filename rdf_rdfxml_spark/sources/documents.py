@@ -96,6 +96,41 @@ def xml_nested_expr() -> str:
     )
 
 
+def xml_xmlliteral_expr() -> str:
+    """parseType="Literal" with markup content (grammar G11 — exclusive
+    canonicalization is value-checked relationally on both sides)."""
+    return _cat(
+        _q(_PRELUDE + '<rdf:Description rdf:about="doc/'), _DOC_ID,
+        _q('"><ex:markup rdf:parseType="Literal">a <ex:b>c'), _DOC_ID,
+        _q('</ex:b></ex:markup></rdf:Description></rdf:RDF>'),
+    )
+
+
+def xml_xmlbase_expr() -> str:
+    """Nested xml:base + rdf:ID + relative rdf:resource (grammar G1/G3/G14:
+    RFC 3986 resolution incl. dot segments, fragment minting)."""
+    head = ('<?xml version="1.0"?>'
+            f'<rdf:RDF xmlns:rdf="{RDF_NS}" xmlns:ex="{VOC}" '
+            'xml:base="http://example.org/dir/file.rdf">')
+    return _cat(
+        _q(head + '<rdf:Description rdf:ID="d'), _DOC_ID,
+        _q('"><ex:link rdf:resource="rel/'), _DOC_ID,
+        _q('"/><ex:up rdf:resource="../top"/>'
+           '</rdf:Description></rdf:RDF>'),
+    )
+
+
+def xml_nodeid_expr() -> str:
+    """rdf:nodeID shared across subject/object positions (grammar G3/G17:
+    the per-document labeled bnode cache)."""
+    return _cat(
+        _q(_PRELUDE + '<rdf:Description rdf:about="doc/'), _DOC_ID,
+        _q('"><ex:knows rdf:nodeID="n1"/></rdf:Description>'
+           '<rdf:Description rdf:nodeID="n1"><ex:origin>'), "source",
+        _q('</ex:origin></rdf:Description></rdf:RDF>'),
+    )
+
+
 def xml_maybe_broken_expr() -> str:
     """Malformed XML (unclosed element) for doc_id % 7 == 3 — drives the
     error channel; the basic well-formed document otherwise."""
