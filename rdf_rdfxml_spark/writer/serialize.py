@@ -43,8 +43,11 @@ def _escape_text(v: str) -> str:
 
 
 def _escape_attr(v: str) -> str:
+    # numeric refs for whitespace so attribute-value normalization cannot
+    # alter round-tripped literal values
     return (v.replace("&", "&amp;").replace("<", "&lt;")
-            .replace('"', "&quot;"))
+            .replace('"', "&quot;").replace("\t", "&#x9;")
+            .replace("\n", "&#xA;").replace("\r", "&#xD;"))
 
 
 def _split_iri(iri: str):
@@ -84,9 +87,16 @@ def _term(row):
 
 
 def serialize_graph(rows, base_uri: str | None = None,
-                    max_depth: int = 10, lang: str | None = None) -> str:
+                    max_depth: int = 10, lang: str | None = None,
+                    attributes: str = "none") -> str:
     """Serialize triple rows (dicts with s, s_kind, p, o, o_kind, o_lang,
-    o_dt) to one RDF/XML document string."""
+    o_dt) to one RDF/XML document string.
+
+    ``attributes``: 'none' (default) renders every property as an element;
+    'untyped' folds single-valued plain no-lang literals into XML property
+    attributes; 'typed' additionally folds typed literals (lossy on the
+    datatype — the reference's semantics, writer.rb:500-525).
+    """
     subjects: dict[tuple, list] = {}
     ref_count: dict[tuple, int] = {}
     for r in rows:
@@ -150,6 +160,29 @@ def serialize_graph(rows, base_uri: str | None = None,
         elif ref_count.get(skey, 0) >= 1 and depth == 0:
             # referenced bnode at top level needs a stable label
             attrs.append(f' rdf:nodeID="{_bnode_label(skey[1])}"')
+
+        # prop_partition (writer.rb:500-525): fold eligible single-valued
+        # literals into XML property attributes
+        if attributes in ("untyped", "typed"):
+            by_pred: dict[str, list] = {}
+            for r in others:
+                by_pred.setdefault(r["p"], []).append(r)
+            folded = []
+            for pred, rs_p in by_pred.items():
+                if len(rs_p) != 1:
+                    continue
+                r = rs_p[0]
+                o = _term(r)
+                if o[0] != "literal" or o[2]:
+                    continue
+                if o[3] and (attributes != "typed" or o[3] == RDF_XMLLITERAL):
+                    continue
+                pq = qn.qname(pred)
+                if pq:
+                    attrs.append(f' {pq}="{_escape_attr(o[1])}"')
+                    folded.append(r)
+            others = [r for r in others if r not in folded]
+
         pad = "  " * (indent + 1)
         out = [f'{"  " * indent}<{elt}{"".join(attrs)}>']
         for r in others:
@@ -242,7 +275,7 @@ def _bnode_label(bid: str) -> str:
     return "b" + re.sub(r"[^A-Za-z0-9_]", "x", bid)
 
 
-def write_rdfxml(triples, group_cols=("doc_sha",), base_uri_col=None):
+def write_rdfxml(triples, group_cols=("doc_sha",), attributes: str = "none"):
     """Spark stage: grouped-map serialization — one RDF/XML document per
     group (applyInPandas; per-document data-parallel, SURVEY.md §2.3)."""
     import pandas as pd
@@ -252,7 +285,7 @@ def write_rdfxml(triples, group_cols=("doc_sha",), base_uri_col=None):
 
     def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
         rows = pdf.to_dict("records")
-        xml = serialize_graph(rows)
+        xml = serialize_graph(rows, attributes=attributes)
         return pd.DataFrame([list(key) + [xml]],
                             columns=group_cols + ["xml"])
 
