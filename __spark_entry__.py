@@ -329,6 +329,50 @@ def q_ann_lsh_bucketed(spark, sf_dir):
             .select("bucket", "n_vectors"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: 8 data-derived centroids (lowest vec_ids), every
+    vector assigned to its best cell; queries probe their 2 nearest cells
+    and brute-force cosine only within them — the at-scale path where each
+    cell is a partition-prunable bucket."""
+    emb = _embeddings(spark, sf_dir).selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    cent = emb.filter("vec_id < 8").selectExpr(
+        "vec_id AS cell_id", "v AS cv")
+    cos = ("aggregate(zip_with(v, cv, (x, y) -> x * y), "
+           "CAST(0.0 AS DOUBLE), (a, x) -> a + x) / "
+           "(sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), "
+           "(a, x) -> a + x)) * "
+           "sqrt(aggregate(transform(cv, x -> x * x), CAST(0.0 AS DOUBLE), "
+           "(a, x) -> a + x)))")
+    scored = (emb.crossJoin(F.broadcast(cent))
+              .selectExpr("vec_id", "v", "cell_id", f"({cos}) AS c"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cell_id"))
+    ranked = scored.withColumn("crank", F.row_number().over(w))
+    assign = ranked.filter("crank = 1").select("vec_id", "v", "cell_id")
+    probes = (ranked.filter("crank <= 2 AND vec_id < 10")
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("v").alias("qv"), "cell_id"))
+    sim = ("aggregate(zip_with(qv, nv, (x, y) -> x * y), "
+           "CAST(0.0 AS DOUBLE), (a, x) -> a + x) / "
+           "(sqrt(aggregate(transform(qv, x -> x * x), CAST(0.0 AS DOUBLE), "
+           "(a, x) -> a + x)) * "
+           "sqrt(aggregate(transform(nv, x -> x * x), CAST(0.0 AS DOUBLE), "
+           "(a, x) -> a + x)))")
+    cands = (probes.join(
+        assign.selectExpr("vec_id AS neighbor_id", "v AS nv", "cell_id"),
+        "cell_id")
+        .filter("query_id != neighbor_id")
+        .selectExpr("query_id", "neighbor_id", f"({sim}) AS sim")
+        .dropDuplicates(["query_id", "neighbor_id"]))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                                F.asc("neighbor_id"))
+    return (cands.withColumn("rank", F.row_number().over(w2))
+            .filter("rank <= 3")
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("long").alias("rank"),
+                    F.round("sim", 4).alias("sim_r")))
+
+
 def q_text_quality(spark, sf_dir):
     return _docs(spark, sf_dir).selectExpr(
         "doc_id",
@@ -401,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "text_quality": q_text_quality,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
@@ -694,6 +739,42 @@ def oracle_sql() -> dict[str, str]:
     SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
            ROUND(sim, 4) AS sim_r
     FROM r WHERE rnk <= 5""",
+
+        "ann_ivf_topk": """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, cent.cell_id,
+             list_dot_product(e.v, cent.cv) /
+             (sqrt(list_dot_product(e.v, e.v)) *
+              sqrt(list_dot_product(cent.cv, cent.cv))) AS c,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_dot_product(e.v, cent.cv) /
+                                (sqrt(list_dot_product(e.v, e.v)) *
+                                 sqrt(list_dot_product(cent.cv, cent.cv)))
+                                DESC, cent.cell_id) AS crank
+      FROM e, cent),
+    assign AS (SELECT vec_id, cell_id FROM scored WHERE crank = 1),
+    probes AS (SELECT vec_id AS query_id, cell_id FROM scored
+               WHERE crank <= 2 AND vec_id < 10),
+    cands AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.cell_id = p.cell_id
+      WHERE a.vec_id != p.query_id),
+    sims AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_dot_product(q.v, n.v) /
+             (sqrt(list_dot_product(q.v, q.v)) *
+              sqrt(list_dot_product(n.v, n.v))) AS sim
+      FROM cands c JOIN e q ON q.vec_id = c.query_id
+                   JOIN e n ON n.vec_id = c.neighbor_id),
+    r AS (SELECT query_id, neighbor_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS rnk
+          FROM sims)
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+           ROUND(sim, 4) AS sim_r
+    FROM r WHERE rnk <= 3""",
 
         "ann_lsh_bucketed": """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
