@@ -27,6 +27,7 @@ from rdf_rdfxml_spark.operators.linking import (
 from rdf_rdfxml_spark.plans.pipeline import construct_graph
 from rdf_rdfxml_spark.sources import documents as D
 from rdf_rdfxml_spark.sources.fixtures import corpus
+from rdf_rdfxml_spark.streaming.sessionize import ORACLE_SQL as _SESSIONIZE_ORACLE
 
 RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 VOC = "http://example.org/voc#"
@@ -410,6 +411,11 @@ def q_doc_fingerprint(spark, sf_dir):
         F.length("text").alias("n_chars_actual"))
 
 
+def q_events_sessionize(spark, sf_dir):
+    from rdf_rdfxml_spark.streaming.sessionize import sessionize_batch
+    return sessionize_batch(_events(spark, sf_dir))
+
+
 def q_events_windowed(spark, sf_dir):
     e = _events(spark, sf_dir)
     return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -451,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "events_windowed": q_events_windowed,
+        "events_sessionize": q_events_sessionize,
     }
 
 
@@ -831,4 +838,6 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
              AS value_cents
     FROM events GROUP BY 1, 2""",
+
+        "events_sessionize": _SESSIONIZE_ORACLE,
     }

@@ -107,6 +107,27 @@ def serialize_graph(rows, base_uri: str | None = None,
             okey = (o[0], o[1])
             ref_count[okey] = ref_count.get(okey, 0) + 1
 
+    def relativize(iri: str) -> str:
+        """Base-relative IRI output (reference get_qname's base-relative
+        branch, writer.rb:546-558) — only forms whose RFC 3986 resolution
+        provably restores the absolute IRI: '' for the base itself,
+        '#frag'/'?query' suffixes against any base, and a bare trailing
+        segment only against a '/'-terminated base (and only when the
+        segment can't be misread as a scheme or dot-segment)."""
+        if not base_uri:
+            return iri
+        if iri == base_uri:
+            return ""
+        if iri.startswith(base_uri):
+            rest = iri[len(base_uri):]
+            if rest.startswith(("#", "?")):
+                return rest
+            if (base_uri.endswith("/") and rest
+                    and not rest.startswith(("/", "."))
+                    and ":" not in rest.split("/", 1)[0]):
+                return rest
+        return iri
+
     qn = _QNames()
     # Pre-mint QNames for all predicates and type objects (preprocess,
     # writer.rb:431-444) so the xmlns block is complete before rendering.
@@ -156,7 +177,7 @@ def serialize_graph(rows, base_uri: str | None = None,
 
         attrs = []
         if skey[0] == "iri":
-            attrs.append(f' rdf:about="{_escape_attr(skey[1])}"')
+            attrs.append(f' rdf:about="{_escape_attr(relativize(skey[1]))}"')
         elif ref_count.get(skey, 0) >= 1 and depth == 0:
             # referenced bnode at top level needs a stable label
             attrs.append(f' rdf:nodeID="{_bnode_label(skey[1])}"')
@@ -232,7 +253,7 @@ def serialize_graph(rows, base_uri: str | None = None,
                                f'"{_bnode_label(okey[1])}"/>')
             else:
                 out.append(f'{pad}<{pq} rdf:resource='
-                           f'"{_escape_attr(okey[1])}"/>')
+                           f'"{_escape_attr(relativize(okey[1]))}"/>')
         out.append(f'{"  " * indent}</{elt}>')
         return "\n".join(out)
 
