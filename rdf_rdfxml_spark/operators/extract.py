@@ -105,7 +105,8 @@ def _col_or_none(rb: pa.RecordBatch, name: str, want: bool):
     return rb.column(rb.schema.get_field_index(name)).to_pylist()
 
 
-def _make_parse_batch(has_base: bool, has_prov: bool, strict: bool):
+def _make_parse_batch(has_base: bool, has_prov: bool, strict: bool,
+                      max_content_bytes: int):
     def parse_batch(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # Hostile nesting headroom; RecursionError is still caught per-doc.
         sys.setrecursionlimit(50_000)
@@ -122,9 +123,17 @@ def _make_parse_batch(has_base: bool, has_prov: bool, strict: bool):
                 data = (content.encode("utf-8")
                         if isinstance(content, str) else content)
                 doc_sha = sha256(data).hexdigest()
-                triples, errors = parse_rdfxml(
-                    data, base_uri=bases[i] if bases is not None else "",
-                    doc_key=doc_sha, strict=strict)
+                if len(data) > max_content_bytes:
+                    # fail-soft oversized-document guard (SURVEY.md §4):
+                    # task memory stays O(max doc), the row keeps lineage
+                    triples, errors = [], [
+                        f"document too large: {len(data)} bytes "
+                        f"(cap {max_content_bytes})"]
+                else:
+                    triples, errors = parse_rdfxml(
+                        data,
+                        base_uri=bases[i] if bases is not None else "",
+                        doc_key=doc_sha, strict=strict)
                 repo = repos[i] if repos is not None else None
                 path = paths[i] if paths is not None else None
                 commit = commits[i] if commits is not None else None
@@ -140,7 +149,8 @@ def _make_parse_batch(has_base: bool, has_prov: bool, strict: bool):
     return parse_batch
 
 
-def extract(documents: DataFrame, *, strict: bool = True) -> DataFrame:
+def extract(documents: DataFrame, *, strict: bool = True,
+            max_content_bytes: int = 256 * 1024 * 1024) -> DataFrame:
     """Run the RDF/XML grammar over a documents DataFrame.
 
     Input columns: ``content`` (required); ``base_uri`` (optional — default
@@ -162,7 +172,8 @@ def extract(documents: DataFrame, *, strict: bool = True) -> DataFrame:
     # Explicit projection so Catalyst prunes every other column at the scan.
     pruned = documents.select(*keep)
     return pruned.mapInArrow(
-        _make_parse_batch(has_base, has_prov, strict), schema=EXTRACT_SCHEMA)
+        _make_parse_batch(has_base, has_prov, strict, max_content_bytes),
+        schema=EXTRACT_SCHEMA)
 
 
 def triples_channel(extracted: DataFrame) -> DataFrame:

@@ -1,0 +1,48 @@
+"""Robustness: the parser must never raise on arbitrary input (per-document
+error isolation is the task-safety contract), and oversized documents hit
+the fail-soft cap with lineage preserved."""
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from rdf_rdfxml_spark.parser.grammar import parse_rdfxml
+
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+_garbage = st.text(
+    alphabet=string.printable + "<>&\"'é中", max_size=400)
+
+_tagged = st.builds(
+    lambda pre, tag, attrs, body, post:
+        f"{pre}<{tag}{attrs}>{body}</{tag}>{post}",
+    st.sampled_from(["", '<?xml version="1.0"?>']),
+    st.sampled_from(["rdf:RDF", "x", "rdf:Description", "a:b"]),
+    st.sampled_from(["", f' xmlns:rdf="{RDF}"', ' rdf:about="x"',
+                     ' xmlns:rdf="a" rdf:ID="3bad"']),
+    _garbage,
+    st.sampled_from(["", "<unclosed", "]]>", "&undefined;"]),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(_garbage, _tagged))
+def test_parser_never_raises(doc):
+    triples, errors = parse_rdfxml(doc, base_uri="http://b/", doc_key="f",
+                                   strict=True)
+    assert isinstance(triples, list) and isinstance(errors, list)
+    if errors:
+        assert triples == []
+
+
+def test_oversized_document_fail_soft(spark):
+    from rdf_rdfxml_spark.operators.extract import extract, errors_channel
+    big = ('<rdf:RDF xmlns:rdf="%s" xmlns:e="http://e/">'
+           '<rdf:Description rdf:about="http://a/"><e:p>%s</e:p>'
+           '</rdf:Description></rdf:RDF>') % (RDF, "x" * 10_000)
+    docs = spark.createDataFrame([{"content": big, "base_uri": ""}])
+    out = extract(docs, max_content_bytes=1024)
+    errs = errors_channel(out).collect()
+    assert len(errs) == 1 and "too large" in errs[0]["error"]
+    assert len(errs[0]["doc_sha"]) == 64  # lineage survives the cap
+    # uncapped: parses fine
+    assert extract(docs).filter("rec = 'triple'").count() == 1
