@@ -88,7 +88,8 @@ def _term(row):
 
 def serialize_graph(rows, base_uri: str | None = None,
                     max_depth: int = 10, lang: str | None = None,
-                    attributes: str = "none") -> str:
+                    attributes: str = "none",
+                    stylesheet: str | None = None) -> str:
     """Serialize triple rows (dicts with s, s_kind, p, o, o_kind, o_lang,
     o_dt) to one RDF/XML document string.
 
@@ -211,6 +212,11 @@ def serialize_graph(rows, base_uri: str | None = None,
             o = _term(r)
             if o[0] == "literal":
                 _v, value, olang, odt = o
+                if olang and lang and olang == lang.lower():
+                    # literal language == document language → elide, the
+                    # root xml:lang re-establishes it (get_lang,
+                    # writer.rb:526-531)
+                    olang = None
                 if odt == RDF_XMLLITERAL:
                     out.append(f'{pad}<{pq} rdf:parseType="Literal">'
                                f'{value}</{pq}>')
@@ -282,8 +288,11 @@ def serialize_graph(rows, base_uri: str | None = None,
         for ns, p in sorted(qn.ns_to_prefix.items(), key=lambda kv: kv[1]))
     base_attr = f'\n   xml:base="{_escape_attr(base_uri)}"' if base_uri else ""
     lang_attr = f'\n   xml:lang="{lang}"' if lang else ""
-    return ('<?xml version="1.0" encoding="UTF-8"?>\n'
-            f"<rdf:RDF{ns_attrs}{base_attr}{lang_attr}>\n"
+    # optional xml-stylesheet PI (writer.rb:215-228 haml :doc prologue)
+    pi = (f'<?xml-stylesheet type="text/xsl" '
+          f'href="{_escape_attr(stylesheet)}"?>\n' if stylesheet else "")
+    return ('<?xml version="1.0" encoding="UTF-8"?>\n' + pi
+            + f"<rdf:RDF{ns_attrs}{base_attr}{lang_attr}>\n"
             + "\n".join(body) + "\n</rdf:RDF>\n")
 
 

@@ -103,3 +103,30 @@ def test_xmlliteral_embeds_verbatim():
     assert 'rdf:parseType="Literal"' in xml
     reparsed, _ = parse_rdfxml(xml, base_uri="", doc_key="x")
     assert isomorphic(reparsed, triples)
+
+
+def test_document_language_elision_roundtrip():
+    from rdf_rdfxml_spark.writer.serialize import serialize_graph
+    triples = [
+        (("iri", "http://a/1"), "http://v/p", ("literal", "hallo", "de", None)),
+        (("iri", "http://a/1"), "http://v/q", ("literal", "hello", "en", None)),
+        (("iri", "http://a/1"), "http://v/r", ("literal", "", "de", None)),
+    ]
+    xml = serialize_graph(_rows(triples), lang="de")
+    # doc-language literals elide their xml:lang (re-established by the root)
+    assert xml.count('xml:lang="de"') == 1          # only on rdf:RDF
+    assert 'xml:lang="en"' in xml                   # divergent lang kept
+    reparsed, errors = parse_rdfxml(xml, base_uri="", doc_key="dl")
+    assert not errors
+    assert isomorphic(reparsed, triples), xml
+
+
+def test_stylesheet_pi():
+    from rdf_rdfxml_spark.writer.serialize import serialize_graph
+    xml = serialize_graph(
+        _rows([(("iri", "http://a/"), "http://v/p",
+                ("literal", "x", None, None))]),
+        stylesheet="style.xsl")
+    assert '<?xml-stylesheet type="text/xsl" href="style.xsl"?>' in xml
+    reparsed, errors = parse_rdfxml(xml, base_uri="", doc_key="ss")
+    assert not errors and len(reparsed) == 1
