@@ -135,6 +135,19 @@ def q_roundtrip(spark, sf_dir):
                            "o_dt")
 
 
+def q_roundtrip_attr_folding(spark, sf_dir):
+    # same invariant as rdfxml_roundtrip but through the writer's
+    # attribute-folding mode (prop_partition, W5) — folding must be
+    # semantics-preserving for plain single-valued literals.
+    from rdf_rdfxml_spark.writer.serialize import write_rdfxml
+    t = triples_channel(_parse(spark, sf_dir, D.xml_basic_expr()))
+    xml = write_rdfxml(t, group_cols=("doc_sha",), attributes="untyped")
+    reparsed = triples_channel(extract(
+        xml.selectExpr("xml AS content", "'' AS base_uri")))
+    return reparsed.select("s", "s_kind", "p", "o", "o_kind", "o_lang",
+                           "o_dt")
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     emb = _embeddings(spark, sf_dir).selectExpr(
         "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
@@ -437,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfxml_xmlbase": q_extract_xmlbase,
         "rdfxml_nodeid_shared": q_extract_nodeid,
         "rdfxml_roundtrip": q_roundtrip,
+        "rdfxml_roundtrip_attrs": q_roundtrip_attr_folding,
         "rdfxml_error_channel": q_error_channel,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "rdfxml_format_sniff": q_format_sniff,
@@ -528,7 +542,7 @@ def _oracle_term_dictionary() -> str:
 def oracle_sql() -> dict[str, str]:
     sniff_expr = (f"CASE WHEN doc_id % 5 = 0 THEN '<notrdf/>' "
                   f"ELSE ({D.xml_basic_expr()}) END")
-    return {
+    oracles = {
         "rdfxml_extract_basic": _oracle_basic_triples(),
 
         "rdfxml_containers": _oracle_docs_cte(D.xml_container_expr()) + f""",
@@ -841,3 +855,5 @@ def oracle_sql() -> dict[str, str]:
 
         "events_sessionize": _SESSIONIZE_ORACLE,
     }
+    oracles["rdfxml_roundtrip_attrs"] = oracles["rdfxml_roundtrip"]
+    return oracles
