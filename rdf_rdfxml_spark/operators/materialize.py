@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -90,7 +90,11 @@ def resumable_run(
         batch_docs = pending.filter(F.col("unit").isin(batch_units))
         extracted = extract(batch_docs, strict=strict)
         triples = with_bucket(triples_channel(extracted), n_buckets)
+        # Observation piggybacks the count on the write job — no extra pass.
+        obs = Observation(f"written_batch_{i}")
+        triples = triples.observe(obs, F.count(F.lit(1)).alias("n"))
         triples.write.mode("append").partitionBy("bucket").parquet(output_path)
+        triples_written += int(obs.get["n"])
         record_units(spark, batch_units, manifest_path)
         done += len(batch_units)
     return {"units_total": len(unit_ids), "units_done": done,

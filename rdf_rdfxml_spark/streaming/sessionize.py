@@ -7,6 +7,8 @@ processing-time timeout.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window
@@ -17,6 +19,14 @@ from pyspark.sql.types import (
 )
 
 SESSION_GAP_SECONDS = 30 * 60
+
+def _cents_half_up(value: float) -> int:
+    """value → integer cents with HALF_UP rounding, matching Spark's
+    ``round()`` in :func:`sessionize_batch` (Python's ``round()`` is
+    banker's rounding and would disagree on exact halves, e.g. 0.125)."""
+    return int(Decimal(str(value * 100)).quantize(
+        Decimal("1"), rounding=ROUND_HALF_UP))
+
 
 SESSION_SCHEMA = StructType([
     StructField("user_id", LongType()),
@@ -108,7 +118,7 @@ def sessionize_stream(events_stream: DataFrame,
             for pdf in pdfs:
                 for ts, value in zip(pdf["ts"], pdf["value"]):
                     rows.append((int(ts.timestamp()),
-                                 int(round(float(value) * 100))))
+                                 _cents_half_up(float(value))))
             rows.sort()
             if state.exists:
                 last_ts, start, n, cents = state.get

@@ -1,0 +1,127 @@
+"""MinHash-LSH / SimHash sketch operators (operators/sketch.py).
+
+Beyond the driver-gate oracle (hash-exact vs DuckDB), these tests check the
+*statistical* contract: LSH candidate recall against brute-force jaccard
+ground truth, SimHash hamming-distance separation of near-dups vs random
+pairs, determinism, and the short-text guard.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow.parquet as pq
+import pytest
+
+from rdf_rdfxml_spark.operators.sketch import (
+    minhash_bands, minhash_candidates, minhash_params, simhash,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs_pylist():
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    return list(zip(t.column("doc_id").to_pylist(),
+                    t.column("text").to_pylist()))
+
+
+def _shingles(text: str, k: int = 5) -> set:
+    return {text[i:i + k] for i in range(len(text) - k + 1)}
+
+
+def _ground_truth_pairs(threshold: float = 0.9):
+    docs = _docs_pylist()
+    sh = {d: _shingles(t) for d, t in docs if len(t) >= 5}
+    ids = sorted(sh)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter and inter / (len(sh[a]) + len(sh[b]) - inter) >= threshold:
+                out.add((a, b))
+    return out
+
+
+def _docs_df(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_minhash_lsh_recall_on_near_dups(spark):
+    truth = _ground_truth_pairs(0.9)
+    assert len(truth) >= 10  # corpus sanity: near-dups exist
+    cands = {(r["a"], r["b"])
+             for r in minhash_candidates(_docs_df(spark)).collect()}
+    recall = len(truth & cands) / len(truth)
+    # 8 bands × 8 rows: per-pair miss prob at j=0.9 is (1-0.9^8)^8 ≈ 1.1%
+    assert recall >= 0.9, f"LSH recall {recall:.3f} on {len(truth)} pairs"
+
+
+def test_minhash_lsh_precision_shape(spark):
+    """The banded join must not drown in background pairs (j ≈ 0.2 is the
+    corpus's bulk) — that's the at-scale property the r=8 setting buys."""
+    n_docs = _docs_df(spark).count()
+    n_cands = minhash_candidates(_docs_df(spark)).count()
+    assert n_cands < 5 * n_docs  # candidates ≈ near-dups, not ≈ n²
+
+
+def test_minhash_deterministic_and_guarded(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "abc"),        # shorter than the shingle width → no bands
+         (3, None)],        # null text → no bands
+        "doc_id long, text string")
+    rows = sorted(map(tuple, minhash_bands(docs).collect()))
+    rows2 = sorted(map(tuple, minhash_bands(docs).collect()))
+    assert rows == rows2
+    assert {r[0] for r in rows} == {1}
+    assert len(rows) == 8  # n_bands
+
+
+def test_minhash_params_portable_bounds():
+    a, b = minhash_params(64)
+    assert len(a) == len(b) == 64
+    assert all(x % 2 == 1 and 0 < x < 2 ** 30 for x in a)
+    assert all(0 <= x < 4294967311 for x in b)
+    # worst-case product must stay exact in int64/BIGINT
+    assert max(a) * (2 ** 32 - 1) + max(b) < 2 ** 63
+
+
+def _simhash_py(text: str, bits: int = 48) -> int:
+    votes = [0] * bits
+    for w in text.split(" "):
+        if not w:
+            continue
+        h = int(hashlib.md5(w.encode()).hexdigest()[:bits // 4], 16)
+        for i in range(bits):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    return sum(1 << i for i in range(bits) if votes[i] > 0)
+
+
+def test_simhash_matches_reference_impl(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "one  two"), (3, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert got == {1: _simhash_py("alpha beta gamma alpha"),
+                   2: _simhash_py("one  two")}  # empty text → no row
+
+
+def test_simhash_separates_near_dups(spark):
+    truth = _ground_truth_pairs(0.9)
+    sims = {r["doc_id"]: r["simhash"]
+            for r in simhash(_docs_df(spark)).collect()}
+    ids = sorted(sims)
+    near = [bin(sims[a] ^ sims[b]).count("1") for a, b in truth]
+    far = [bin(sims[ids[i]] ^ sims[ids[i + 137]]).count("1")
+           for i in range(0, len(ids) - 137, 7)]
+    assert sum(near) / len(near) < 10
+    assert sum(far) / len(far) > 14
+
+
+@pytest.mark.parametrize("n_hashes,n_bands", [(64, 8), (32, 4)])
+def test_minhash_band_count(spark, n_hashes, n_bands):
+    docs = spark.createDataFrame([(7, "abcdefghij klmnop qrstuv")],
+                                 "doc_id long, text string")
+    rows = minhash_bands(docs, n_hashes=n_hashes, n_bands=n_bands).collect()
+    assert sorted(r["band_id"] for r in rows) == list(range(n_bands))

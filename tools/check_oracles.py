@@ -16,6 +16,30 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+# Canonical type names for the cross-engine schema check (CLAUDE.md: the
+# real driver gate compares types — INT vs BIGINT must fail locally too).
+_SPARK_TYPES = {
+    "tinyint": "i8", "smallint": "i16", "int": "i32", "bigint": "i64",
+    "float": "f32", "double": "f64", "string": "str", "boolean": "bool",
+    "date": "date", "timestamp": "timestamp", "binary": "bytes",
+}
+_DUCK_TYPES = {
+    "TINYINT": "i8", "SMALLINT": "i16", "INTEGER": "i32", "BIGINT": "i64",
+    "FLOAT": "f32", "DOUBLE": "f64", "VARCHAR": "str", "BOOLEAN": "bool",
+    "DATE": "date", "TIMESTAMP": "timestamp", "BLOB": "bytes",
+}
+
+
+def _canon_types(pairs, table):
+    """[(name, engine_type)] → {name: canonical} for mapped types only."""
+    out = {}
+    for name, t in pairs:
+        c = table.get(str(t))
+        if c is not None:
+            out[name.lower()] = c
+    return out
+
+
 def _norm(v):
     if v is None:
         return "\x00NULL"
@@ -83,6 +107,14 @@ def main():
         problems = []
         if sorted(scols_l) != sorted(ocols):
             problems.append(f"columns {sorted(scols_l)} != {sorted(ocols)}")
+        else:
+            stypes = _canon_types(sdf.dtypes, _SPARK_TYPES)
+            otypes = _canon_types(zip(res.columns, res.types), _DUCK_TYPES)
+            for c in sorted(set(stypes) & set(otypes)):
+                if stypes[c] != otypes[c]:
+                    problems.append(
+                        f"type mismatch on {c}: spark {stypes[c]} "
+                        f"!= duckdb {otypes[c]}")
         if len(srows) != len(orows):
             problems.append(f"rows {len(srows)} != {len(orows)}")
         if not problems:
