@@ -24,6 +24,7 @@ from rdf_rdfxml_spark.operators.extract import (
 from rdf_rdfxml_spark.operators.linking import (
     build_term_dictionary, encode_triples,
 )
+from rdf_rdfxml_spark.operators import ann as _ANN
 from rdf_rdfxml_spark.operators import sketch as _SK
 from rdf_rdfxml_spark.plans.pipeline import construct_graph
 from rdf_rdfxml_spark.sources import documents as D
@@ -150,6 +151,9 @@ def q_roundtrip_attr_folding(spark, sf_dir):
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
+    # Brute-force all-pairs cosine — ORACLE BASELINE ONLY (O(n²) pairs;
+    # the scale path is dedup_embedding_bucketed, whose pair set matches
+    # this one exactly on the test corpora — tests/test_ann.py).
     emb = _embeddings(spark, sf_dir).selectExpr(
         "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
     a = emb.selectExpr("vec_id AS a", "v AS va")
@@ -313,22 +317,24 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh_bucketed(spark, sf_dir):
-    # Random-hyperplane LSH with data-derived planes (the 4 lowest vec_ids):
-    # bucket = sign bits of dot(v, plane_i); exact cosine only within bucket.
-    emb = _embeddings(spark, sf_dir).selectExpr(
-        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
-    planes = emb.filter("vec_id < 4").selectExpr(
-        "vec_id AS plane_id", "v AS pv")
-    dot = ("aggregate(zip_with(v, pv, (x, y) -> x * y), "
-           "CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
-    sig = (emb.crossJoin(F.broadcast(planes))
-           .selectExpr("vec_id", "plane_id",
-                       f"CASE WHEN ({dot}) >= 0 THEN 1 ELSE 0 END AS bit")
-           .groupBy("vec_id")
-           .agg(F.sum(F.expr("bit * CAST(pow(2, plane_id) AS BIGINT)"))
-                .alias("bucket")))
-    return (sig.groupBy("bucket").agg(F.count("*").alias("n_vectors"))
-            .select("bucket", "n_vectors"))
+    # Random-hyperplane LSH buckets + exact-cosine top-k *within* the
+    # query's bucket (round 1 stopped at bucket histograms; this returns
+    # actual neighbors — the probe-search half of the operator).
+    from rdf_rdfxml_spark.operators.ann import (
+        load_embeddings, lsh_bucket_topk,
+    )
+    return lsh_bucket_topk(load_embeddings(spark, sf_dir))
+
+
+def q_dedup_embedding_bucketed(spark, sf_dir):
+    # The scale path for embedding dedup: IVF cells (8 data-derived
+    # centroids, 4-probe), exact cosine only within shared cells. Pair set
+    # == brute-force q_dedup_embedding_cosine on this corpus (recall 1.0,
+    # tests/test_ann.py); at 10⁹ vectors this is Σ|cell|² instead of n².
+    from rdf_rdfxml_spark.operators.ann import (
+        dedup_embedding_bucketed, load_embeddings,
+    )
+    return dedup_embedding_bucketed(load_embeddings(spark, sf_dir))
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -453,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
+        "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_quality": q_text_quality,
         "token_count": q_token_count,
@@ -749,17 +756,9 @@ def oracle_sql() -> dict[str, str]:
            ROUND(sim, 4) AS sim_r
     FROM r WHERE rnk <= 3""",
 
-        "ann_lsh_bucketed": """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    planes AS (SELECT vec_id AS plane_id, v AS pv FROM e WHERE vec_id < 4),
-    sig AS (
-      SELECT e.vec_id,
-             CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
-                      THEN CAST(POW(2, p.plane_id) AS BIGINT)
-                      ELSE 0 END) AS BIGINT) AS bucket
-      FROM e, planes p GROUP BY e.vec_id)
-    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors
-    FROM sig GROUP BY bucket""",
+        "ann_lsh_bucketed": _ANN.lsh_topk_oracle_sql(),
+
+        "dedup_embedding_bucketed": _ANN.dedup_bucketed_oracle_sql(),
 
         "text_quality": """
     SELECT doc_id,

@@ -1,0 +1,177 @@
+"""Approximate nearest-neighbor / embedding-dedup operators (training-data
+pipeline; SURVEY.md §2.5 additions).
+
+The round-1 verdict's scale-killer was ``a.crossJoin(b)`` all-pairs cosine
+— O(n²) pairs, 10¹⁸ at 10⁹ vectors. The scale shape here is IVF bucketing:
+
+1. **Cells**: ``n_cells`` data-derived centroids (the lowest ``vec_id``
+   rows — deterministic, so the DuckDB oracle replicates them; a production
+   run would k-means-train them, which only changes the centroid table).
+2. **Multi-probe assignment**: every vector joins its ``nprobe`` nearest
+   cells (broadcast centroid table — tiny; ranked by exact cosine with a
+   deterministic ``(cos DESC, cell_id)`` tie-break).
+3. **Bucketed work**: candidate pairs / top-k search happen *within* cells
+   only — the n² all-pairs space shrinks to Σ|cell|², and cells are
+   hash-partitionable.
+
+Measured on the test corpora (tests/test_ann.py): 8 cells / 4-probe
+reproduces the brute-force ≥0.4-cosine pair set exactly (recall 1.0 at
+sf0.001 and sf0.01). At 100 TB the knobs move (``n_cells ≈ √N`` trained
+centroids, ``nprobe`` 4-16) but the plan shape is unchanged; the
+brute-force queries stay in the suite as oracle baselines only.
+
+Expression-level note: dot products use ``aggregate(zip_with(...))`` —
+JVM-side, whole-stage-codegen'd, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cos(a: str, b: str) -> str:
+    """SQL expression: cosine similarity of two array<double> columns."""
+    dot = (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+           f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+    na = (f"sqrt(aggregate(transform({a}, x -> x * x), "
+          f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))")
+    nb = (f"sqrt(aggregate(transform({b}, x -> x * x), "
+          f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))")
+    return f"({dot}) / (({na}) * ({nb}))"
+
+
+def load_embeddings(spark, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+
+
+def ivf_assign(emb: DataFrame, *, n_cells: int = 8,
+               nprobe: int = 1) -> DataFrame:
+    """(vec_id, v) → (vec_id, v, cell_id), one row per probed cell.
+
+    Centroids are broadcast (a centroid table is model-sized, never
+    data-sized); the rank window shuffles ``n_cells`` small rows per vector
+    — linear, partition-prunable downstream.
+    """
+    cent = (emb.orderBy("vec_id").limit(n_cells)
+            .selectExpr("vec_id AS cell_id", "v AS cv"))
+    scored = (emb.crossJoin(F.broadcast(cent))
+              .selectExpr("vec_id", "v", "cell_id",
+                          f"({_cos('v', 'cv')}) AS c"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cell_id"))
+    return (scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= nprobe)
+            .select("vec_id", "v", "cell_id"))
+
+
+def dedup_embedding_bucketed(emb: DataFrame, *, threshold: float = 0.4,
+                             n_cells: int = 8,
+                             nprobe: int = 4) -> DataFrame:
+    """Near-duplicate vector pairs via IVF bucketing: exact cosine is
+    evaluated only for pairs sharing a probed cell. Output
+    ``(a, b, sim_r)`` — a < b, distinct."""
+    assign = ivf_assign(emb, n_cells=n_cells, nprobe=nprobe)
+    left = assign.selectExpr("vec_id AS a", "v AS va", "cell_id")
+    right = assign.selectExpr("vec_id AS b", "v AS vb", "cell_id")
+    return (left.join(right, "cell_id").filter("a < b")
+            .selectExpr("a", "b", f"({_cos('va', 'vb')}) AS sim")
+            .filter(f"sim >= {threshold}")
+            .selectExpr("a", "b", "round(sim, 4) AS sim_r")
+            .distinct())
+
+
+def lsh_bucket_topk(emb: DataFrame, *, n_planes: int = 4, k: int = 3,
+                    n_queries: int = 10) -> DataFrame:
+    """Random-hyperplane LSH buckets (data-derived planes: the lowest
+    ``n_planes`` vec_ids) + exact-cosine top-k *within* the query's bucket.
+    Completes the round-1 operator, which stopped at bucket histograms.
+
+    Output ``(query_id, neighbor_id, rank, sim_r)``; queries whose bucket
+    is a singleton return no rows (by construction, both engines)."""
+    planes = (emb.orderBy("vec_id").limit(n_planes)
+              .selectExpr("vec_id AS plane_id", "v AS pv"))
+    sig = (emb.crossJoin(F.broadcast(planes))
+           .selectExpr("vec_id", "v", "plane_id",
+                       f"CASE WHEN ({_cos('v', 'pv')}) >= 0 "
+                       "THEN 1 ELSE 0 END AS bit")
+           .groupBy("vec_id")
+           .agg(F.first("v").alias("v"),
+                F.sum(F.expr("bit * CAST(pow(2, plane_id) AS BIGINT)"))
+                .alias("bucket")))
+    q = (sig.filter(f"vec_id < {n_queries}")
+         .selectExpr("vec_id AS query_id", "v AS qv", "bucket"))
+    c = sig.selectExpr("vec_id AS neighbor_id", "v AS nv", "bucket")
+    sims = (q.join(c, "bucket").filter("query_id != neighbor_id")
+            .selectExpr("query_id", "neighbor_id",
+                        f"({_cos('qv', 'nv')}) AS sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                               F.asc("neighbor_id"))
+    return (sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("long").alias("rank"),
+                    F.round("sim", 4).alias("sim_r")))
+
+
+# --- DuckDB oracle twins ------------------------------------------------------
+
+_DUCK_COS = ("list_dot_product({a}, {b}) / "
+             "(sqrt(list_dot_product({a}, {a})) * "
+             "sqrt(list_dot_product({b}, {b})))")
+
+
+def dedup_bucketed_oracle_sql(*, threshold: float = 0.4, n_cells: int = 8,
+                              nprobe: int = 4,
+                              table: str = "embeddings") -> str:
+    cos_vc = _DUCK_COS.format(a="e.v", b="cent.cv")
+    cos_ab = _DUCK_COS.format(a="l.v", b="r.v")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+    cent AS (SELECT vec_id AS cell_id, v AS cv FROM e
+             ORDER BY vec_id LIMIT {n_cells}),
+    scored AS (
+      SELECT e.vec_id, e.v, cent.cell_id,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {cos_vc} DESC, cent.cell_id) AS crank
+      FROM e, cent),
+    assign AS (SELECT vec_id, v, cell_id FROM scored WHERE crank <= {nprobe}),
+    pairs AS (
+      SELECT DISTINCT l.vec_id AS a, r.vec_id AS b, {cos_ab} AS sim
+      FROM assign l JOIN assign r
+        ON l.cell_id = r.cell_id AND l.vec_id < r.vec_id)
+    SELECT a, b, ROUND(sim, 4) AS sim_r FROM pairs
+    WHERE sim >= {threshold}"""
+
+
+def lsh_topk_oracle_sql(*, n_planes: int = 4, k: int = 3,
+                        n_queries: int = 10,
+                        table: str = "embeddings") -> str:
+    cos_vp = _DUCK_COS.format(a="e.v", b="p.pv")
+    cos_qn = _DUCK_COS.format(a="qe.v", b="n.v")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+    planes AS (SELECT vec_id AS plane_id, v AS pv FROM e
+               ORDER BY vec_id LIMIT {n_planes}),
+    sig AS (
+      SELECT e.vec_id,
+             CAST(SUM(CASE WHEN {cos_vp} >= 0
+                      THEN CAST(POW(2, p.plane_id) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS bucket
+      FROM e, planes p GROUP BY e.vec_id),
+    q AS (SELECT vec_id AS query_id, bucket FROM sig
+          WHERE vec_id < {n_queries}),
+    sims AS (
+      SELECT qq.query_id, c.vec_id AS neighbor_id,
+             {cos_qn} AS sim
+      FROM q qq JOIN sig c ON c.bucket = qq.bucket
+             AND c.vec_id != qq.query_id
+      JOIN e qe ON qe.vec_id = qq.query_id
+      JOIN e n ON n.vec_id = c.vec_id),
+    r AS (SELECT query_id, neighbor_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS rnk
+          FROM sims)
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+           ROUND(sim, 4) AS sim_r
+    FROM r WHERE rnk <= {k}"""

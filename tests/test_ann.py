@@ -1,0 +1,77 @@
+"""ANN / embedding-dedup operators (operators/ann.py): the bucketed scale
+paths must reproduce brute-force results on the test corpora."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from rdf_rdfxml_spark.operators.ann import (
+    dedup_embedding_bucketed, ivf_assign, load_embeddings, lsh_bucket_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = np.array(t.column("vec_id").to_pylist())
+    v = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], v[order]
+
+
+def _brute_force_pairs(ids, v, threshold=0.4):
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    s = vn @ vn.T
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if s[i, j] >= threshold:
+                out.add((int(ids[i]), int(ids[j])))
+    return out
+
+
+def test_bucketed_dedup_matches_brute_force(spark, vectors):
+    ids, v = vectors
+    truth = _brute_force_pairs(ids, v)
+    assert truth  # corpus sanity
+    got = {(r["a"], r["b"]) for r in
+           dedup_embedding_bucketed(load_embeddings(spark, SF_DIR)).collect()}
+    assert got == truth  # recall AND precision 1.0 at this scale
+
+
+def test_ivf_assign_probe_count(spark):
+    emb = load_embeddings(spark, SF_DIR)
+    n = emb.count()
+    a = ivf_assign(emb, n_cells=8, nprobe=4)
+    assert a.count() == 4 * n
+    per_vec = a.groupBy("vec_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_vec] == [4]
+
+
+def test_lsh_topk_neighbors_share_bucket_and_rank(spark, vectors):
+    ids, v = vectors
+    rows = lsh_bucket_topk(load_embeddings(spark, SF_DIR)).collect()
+    assert rows
+    # ranks are 1..k dense per query, sims non-increasing
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r["sim_r"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+    # top-1 within-bucket neighbor is the bucket's true cosine argmax
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    planes = vn[:4]
+    buckets = ((vn @ planes.T >= 0) * (2 ** np.arange(4))).sum(axis=1)
+    s = vn @ vn.T
+    for q, rs in by_q.items():
+        cand = [int(i) for i in ids
+                if buckets[i] == buckets[q] and i != q]
+        best = max(cand, key=lambda i: (s[q, i], -i))
+        assert rs[0]["neighbor_id"] == best
