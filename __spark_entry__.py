@@ -211,6 +211,34 @@ def q_entity_linking(spark, sf_dir):
             .select("s_id", "p_id", "o_id"))
 
 
+def q_entity_linking_salted(spark, sf_dir):
+    # The skew-safe production join: dictionary exploded salt_factor ways,
+    # fact side picks a deterministic salt — must be value-identical to the
+    # broadcast path (same oracle as entity_linking).
+    t = triples_channel(_parse(spark, sf_dir, D.xml_reify_expr()))
+    d = build_term_dictionary(t, dense_ids=True)
+    return (encode_triples(t, d, broadcast_threshold=None, salt_factor=8)
+            .select("s_id", "p_id", "o_id"))
+
+
+def q_entity_linking_hashids(spark, sf_dir):
+    # The at-scale id scheme (xxhash64 term ids — no global sort). DuckDB
+    # cannot reproduce xxhash64, so the oracle checks the *invariants* the
+    # encoding must preserve: row count through the salted join, id-space
+    # cardinality per position (bijectivity of term → id), and no unmatched
+    # (null) ids.
+    t = triples_channel(_parse(spark, sf_dir, D.xml_reify_expr()))
+    d = build_term_dictionary(t)  # xxhash64 ids
+    enc = encode_triples(t, d, broadcast_threshold=None, salt_factor=4)
+    return enc.agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("s_id").alias("n_distinct_s"),
+        F.countDistinct("p_id").alias("n_distinct_p"),
+        F.countDistinct("o_id").alias("n_distinct_o"),
+        F.sum((F.col("s_id").isNull() | F.col("p_id").isNull()
+               | F.col("o_id").isNull()).cast("long")).alias("n_null_ids"))
+
+
 def q_predicate_stats(spark, sf_dir):
     t = triples_channel(_parse(spark, sf_dir, D.xml_basic_expr()))
     return (t.groupBy("p")
@@ -451,6 +479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_dedup_global": q_dedup_global,
         "iri_dictionary": q_iri_dictionary,
         "entity_linking": q_entity_linking,
+        "entity_linking_salted": q_entity_linking_salted,
+        "entity_linking_hashids": q_entity_linking_hashids,
         "predicate_stats": q_predicate_stats,
         "lineage_invariant": q_lineage_invariant,
         "dedup_exact": q_dedup_exact,
@@ -664,6 +694,17 @@ def oracle_sql() -> dict[str, str]:
          AND COALESCE(do_.lang, '') = COALESCE(t.o_lang, '')
          AND COALESCE(do_.dt, '') = COALESCE(t.o_dt, '')""",
 
+        "entity_linking_hashids": f"""WITH t AS ({_oracle_reify_triples()})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triples,
+           CAST(COUNT(DISTINCT s_kind || '|' || s) AS BIGINT)
+             AS n_distinct_s,
+           CAST(COUNT(DISTINCT p) AS BIGINT) AS n_distinct_p,
+           CAST(COUNT(DISTINCT o_kind || '|' || o || '|' ||
+                COALESCE(o_lang, '') || '|' || COALESCE(o_dt, ''))
+             AS BIGINT) AS n_distinct_o,
+           CAST(0 AS BIGINT) AS n_null_ids
+    FROM t""",
+
         "predicate_stats": f"""
     WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents)
     SELECT '{RDF}type' AS p, c AS n, c AS n_subjects FROM n
@@ -807,4 +848,6 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _SESSIONIZE_ORACLE,
     }
     oracles["rdfxml_roundtrip_attrs"] = oracles["rdfxml_roundtrip"]
+    # the salted join must be value-identical to the broadcast path
+    oracles["entity_linking_salted"] = oracles["entity_linking"]
     return oracles

@@ -78,20 +78,40 @@ def encode_triples(
     *,
     broadcast_threshold: int | None = 10_000_000,
     salt_factor: int = 0,
+    dict_count: int | None = None,
 ) -> DataFrame:
     """Encode (s, p, o) to (s_id, p_id, o_id) via the term dictionary.
 
-    ``broadcast_threshold``: when set and the dictionary fits (caller's
-    estimate — pass ``None`` to force the shuffle path), the dictionary is
-    broadcast: three map-side joins, zero shuffle of the fact table.
+    ``broadcast_threshold``: when set, the dictionary is broadcast (three
+    map-side joins, zero shuffle of the fact table) **only if it actually
+    fits**: the build side is counted — ``limit(threshold+1).count()``, so
+    the probe never scans past the threshold — and an over-sized dictionary
+    falls through to the salted path instead of OOMing the driver. Pass
+    ``dict_count`` when the caller already knows the cardinality (skips the
+    probe job), or ``None`` threshold to force the shuffle path.
 
     ``salt_factor > 0``: salted repartition join for the skewed non-broadcast
     case — the dictionary side is replicated ``salt_factor`` ways, the fact
-    side picks ``pmod(xxhash64(key, partition-entropy), salt_factor)``.
+    side picks ``pmod(xxhash64(key, partition-entropy), salt_factor)`` —
+    so one hot key (``rdf:type``-grade skew) spreads over ``salt_factor``
+    reducers. Used automatically (factor 8) on broadcast fall-through.
     """
     dict_slim = dictionary.select(
         "term_id", term_key(F.col("kind"), F.col("value"),
                             F.col("lang"), F.col("dt")).alias("tk"))
+
+    if broadcast_threshold is not None:
+        probe_n = dict_count
+        if probe_n is None:
+            # persist so the probe count and the subsequent joins share one
+            # computation of the distinct-terms aggregate
+            dict_slim = dict_slim.persist()
+            probe_n = dict_slim.limit(broadcast_threshold + 1).count()
+        if probe_n > broadcast_threshold:
+            # documented fall-through: too big to broadcast → salted join
+            broadcast_threshold = None
+            if salt_factor <= 0:
+                salt_factor = 8
 
     s_key = term_key(F.col("s_kind"), F.col("s"))
     p_key = term_key(F.lit("iri"), F.col("p"))

@@ -118,6 +118,34 @@ def test_linking_roundtrip_broadcast_and_salted(spark, graph):
     assert dup == 0
 
 
+def test_broadcast_falls_through_to_salted_when_oversized(spark, graph):
+    """The broadcast decision must be real: a dictionary bigger than the
+    threshold routes to the salted join (same results, no driver OOM risk)
+    instead of broadcasting on faith (round-1 verdict footgun #3)."""
+    d = build_term_dictionary(graph.triples)
+    n = graph.triples.count()
+    enc = encode_triples(graph.triples, d, broadcast_threshold=3)
+    assert enc.count() == n
+    assert enc.filter(
+        "s_id is null or p_id is null or o_id is null").count() == 0
+    # fall-through routed to the *salted* join (salt keys in the plan).
+    # NB: AQE may still physically broadcast a genuinely tiny salted side —
+    # that's Spark's own size-measured decision, exactly the backstop we
+    # want; what must not happen is an unconditional broadcast of an
+    # unmeasured build side.
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "salt" in plan
+    # a caller-supplied count above threshold routes the same way
+    enc2 = encode_triples(graph.triples, d, broadcast_threshold=3,
+                          dict_count=1_000_000)
+    assert "salt" in enc2._jdf.queryExecution().executedPlan().toString()
+    # under the threshold: plain broadcast, no salt machinery
+    enc3 = encode_triples(graph.triples, d, broadcast_threshold=10_000,
+                          dict_count=50)
+    plan3 = enc3._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan3 and "salt" not in plan3
+
+
 def test_dense_ids_are_contiguous(spark, graph):
     d = build_term_dictionary(graph.triples, dense_ids=True)
     n = d.count()
