@@ -446,6 +446,44 @@ def q_doc_fingerprint(spark, sf_dir):
         F.length("text").alias("n_chars_actual"))
 
 
+def q_multimodal_features(spark, sf_dir):
+    # Real decode path (PPM payloads) through the Arrow-batched feature
+    # UDF; the corpus is the deterministic synthetic media table (no
+    # multimodal columns exist in the driver tables). The oracle is the
+    # same computation run sequentially at SQL-generation time — it checks
+    # the *distributed plumbing* (Arrow round-trip, partition-invariance);
+    # the decoders themselves are unit-tested against hand-built payloads.
+    from rdf_rdfxml_spark.operators.multimodal import (
+        extract_features, synth_media,
+    )
+    media = synth_media(spark, 64).repartition(8)
+    return (extract_features(media)
+            .select("media_id", "feature", "n_bytes"))
+
+
+def _multimodal_oracle() -> str:
+    import numpy as _np  # noqa: F401  (numpy must exist for the decoders)
+    from rdf_rdfxml_spark.operators.multimodal import (
+        decode_image, meanpool_fingerprint,
+    )
+    import hashlib as _h
+    import numpy as np
+    rows = []
+    for i in range(64):
+        seed = int.from_bytes(
+            _h.sha256(f"media:{i}".encode()).digest()[:4], "big")
+        rng = np.random.default_rng(seed)
+        w, h = 4 + (i % 13), 4 + (i % 7)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        from rdf_rdfxml_spark.operators.multimodal import encode_ppm
+        payload = encode_ppm(img)
+        fp = meanpool_fingerprint(decode_image(payload))
+        rows.append(f"('m{i:04d}', '{fp}', {len(payload)})")
+    values = ",\n      ".join(rows)
+    return (f"SELECT * FROM (VALUES\n      {values})"
+            " AS t(media_id, feature, n_bytes)")
+
+
 def q_events_sessionize(spark, sf_dir):
     from rdf_rdfxml_spark.streaming.sessionize import sessionize_batch
     return sessionize_batch(_events(spark, sf_dir))
@@ -495,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_features": q_multimodal_features,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
     }
@@ -837,6 +876,8 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, md5(lower(text)) AS fingerprint,
            CAST(length(text) AS INTEGER) AS n_chars_actual
     FROM documents""",
+
+        "multimodal_features": _multimodal_oracle(),
 
         "events_windowed": """
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,

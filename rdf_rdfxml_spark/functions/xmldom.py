@@ -22,6 +22,8 @@ DTD entities are expanded by expat natively (the reference enables
 
 from __future__ import annotations
 
+import re
+
 from xml.parsers import expat
 
 XML_NS = "http://www.w3.org/XML/1998/namespace"
@@ -140,6 +142,42 @@ def _split_name(name: str):
     return None, parts[0], None
 
 
+_DECL_ENC_B = re.compile(rb'^<\?xml[^>]*?encoding=["\']([A-Za-z0-9._\-]+)["\']')
+_DECL_ENC_S = re.compile(r'^(<\?xml[^>]*?)encoding=["\']([A-Za-z0-9._\-]+)["\']')
+
+
+def _normalize_charset(content):
+    """Charset handling (G16; reference: reader/nokogiri.rb:236-241 honours
+    the document's declared encoding).
+
+    * **bytes**: passed through — expat honours the BOM and the XML decl
+      natively (UTF-8/UTF-16/ISO-8859-1/ASCII built in; other *single-byte*
+      charsets via pyexpat's Python-codec unknown-encoding handler). The
+      caller retries through here with ``force_decode=True`` only when
+      expat reports an encoding it cannot handle (multi-byte codecs like
+      shift_jis): the bytes are decoded with Python's codec for the
+      declared encoding and re-parsed as text.
+    * **str**: already decoded — but a stale ``encoding="..."`` decl would
+      make expat re-interpret our UTF-8 re-encoding as that charset
+      (mojibake), so the decl's encoding is rewritten to UTF-8.
+    """
+    if isinstance(content, bytes):
+        return content
+    # str: neutralize any non-UTF-8 decl (the text is already decoded)
+    return _DECL_ENC_S.sub(r'\1encoding="UTF-8"', content, count=1)
+
+
+def _decode_declared(data: bytes) -> str:
+    m = _DECL_ENC_B.match(data.lstrip())
+    if not m:
+        raise XMLParseError("undeclared unsupported encoding")
+    enc = m.group(1).decode("ascii")
+    try:
+        return data.decode(enc)
+    except (LookupError, UnicodeDecodeError) as e:
+        raise XMLParseError(f"cannot decode declared encoding {enc}: {e}")
+
+
 def parse_document(content) -> Element:
     """Parse an XML document string/bytes into the mini-DOM; raise
     :class:`XMLParseError` on malformed input."""
@@ -187,10 +225,21 @@ def parse_document(content) -> Element:
     parser.EndElementHandler = end_element
     parser.CharacterDataHandler = characters
 
-    data = content.encode("utf-8") if isinstance(content, str) else content
+    normalized = _normalize_charset(content)
+    data = (normalized.encode("utf-8") if isinstance(normalized, str)
+            else normalized)
     try:
         parser.Parse(data, True)
-    except expat.ExpatError as e:  # malformed XML
+    except (expat.ExpatError, ValueError, LookupError) as e:
+        # malformed XML, or a codec pyexpat can't stream (ValueError
+        # "multi-byte encodings are not supported" for e.g. shift_jis,
+        # LookupError from the codec registry for unknown charset names)
+        if isinstance(data, bytes) and not root_holder and \
+                ("encoding" in str(e) or "encodings" in str(e)):
+            # multi-byte charset expat can't stream (e.g. shift_jis):
+            # decode with Python's codec for the declared encoding, retry
+            # as text (decl gets rewritten to UTF-8)
+            return parse_document(_decode_declared(data))
         raise XMLParseError(str(e)) from e
     if not root_holder:
         raise XMLParseError("no root element")

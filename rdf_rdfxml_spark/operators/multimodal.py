@@ -1,12 +1,15 @@
 """Multimodal column plumbing (training-data pipeline ops).
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
-metadata; the Spark-side plumbing — schema, partition-friendly batch shape,
-Arrow-vectorized UDF signatures — is real and tested, while the actual
-codec work is stubbed: the container ships no image/audio libraries, so
-``decode_image`` raises ``NotImplementedError`` unless ``fake=True``
-selects the deterministic fake decoder (stable pseudo-pixels derived from
-the payload hash) used by tests and benchmarks.
+metadata. The Spark-side plumbing — schema, partition-friendly batch shape,
+Arrow-vectorized UDF signatures, per-item error isolation — is real and
+tested, and two *real* pure-Python decoders are wired in (PPM P6 and
+24-bit uncompressed BMP — formats simple enough to decode with numpy
+alone). Compressed formats (JPEG/PNG/WebP) need a codec library this
+container doesn't ship, so they remain a declared
+``NotImplementedError`` seam; ``fake=True`` additionally enables the
+deterministic pseudo-pixel decoder for plumbing tests over arbitrary
+payloads.
 
 At 100 TB scale the pattern is the one that matters: ``mapInPandas`` over
 Arrow batches keeps payload bytes zero-copy end-to-end, metadata columns
@@ -45,27 +48,120 @@ FEATURE_SCHEMA = StructType([
 ])
 
 
+class DecodeError(ValueError):
+    """Malformed image payload (→ per-item error channel)."""
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval ≤ 255) → HxWx3 uint8 array. Pure Python —
+    no codec dependency."""
+    # header: 'P6' <ws> width <ws> height <ws> maxval <single ws> raster;
+    # '#' comments allowed inside the header whitespace
+    if payload[:2] != b"P6":
+        raise DecodeError("not a P6 PPM")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise DecodeError("unterminated PPM comment")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise DecodeError("truncated PPM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte before the raster
+    width, height, maxval = fields
+    if not (0 < width and 0 < height and 0 < maxval <= 255):
+        raise DecodeError(f"unsupported PPM geometry {fields}")
+    n = width * height * 3
+    raster = payload[pos:pos + n]
+    if len(raster) != n:
+        raise DecodeError(f"PPM raster truncated: {len(raster)} < {n}")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(height, width, 3)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) → HxWx3 uint8
+    (RGB, top-down). Pure Python."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise DecodeError("not a BMP or truncated header")
+    le = lambda a, b: int.from_bytes(payload[a:b], "little", signed=True)  # noqa: E731
+    data_off = le(10, 14)
+    width, height = le(18, 22), le(22, 26)
+    bpp, compression = le(28, 30), le(30, 34)
+    if bpp != 24 or compression != 0:
+        raise DecodeError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+    flip = height > 0  # positive height = bottom-up rows
+    height = abs(height)
+    if width <= 0 or height == 0:
+        raise DecodeError("bad BMP dimensions")
+    stride = (width * 3 + 3) & ~3  # rows padded to 4 bytes
+    need = data_off + stride * height
+    if len(payload) < need:
+        raise DecodeError(f"BMP pixel data truncated: {len(payload)} < {need}")
+    rows = np.frombuffer(payload, dtype=np.uint8,
+                         count=stride * height, offset=data_off)
+    img = rows.reshape(height, stride)[:, :width * 3] \
+        .reshape(height, width, 3)[:, :, ::-1]  # BGR → RGB
+    return img[::-1] if flip else img.copy()
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 → binary PPM payload (test/synth helper)."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
 def decode_image(payload: bytes, *, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
-    STUB: real decoding needs an image codec library not present in this
-    container. ``fake=True`` returns deterministic pseudo-pixels (seeded by
-    the payload sha256) with the right dtype/shape so downstream plumbing
-    is exercised end-to-end.
+    Real decoders: PPM (P6) and 24-bit BMP, dispatched on magic bytes.
+    Compressed formats need a codec library absent from this container —
+    a declared seam: they raise ``NotImplementedError`` unless ``fake=True``
+    selects the deterministic pseudo-pixel decoder (stable pixels seeded by
+    the payload sha256) so downstream plumbing is testable with any bytes.
     """
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     if not fake:
         raise NotImplementedError(
-            "image codecs unavailable in this environment; "
+            "no codec for this image format in this environment "
+            "(PPM/BMP decode natively; JPEG/PNG need an image library); "
             "pass fake=True for the deterministic test decoder")
     seed = int.from_bytes(hashlib.sha256(payload).digest()[:4], "big")
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
 
 
-def extract_features(media: DataFrame, *, fake_decode: bool = True,
+def meanpool_fingerprint(img: np.ndarray, grid: int = 8) -> str:
+    """Deterministic 8×8 grayscale block-mean fingerprint, hex-encoded —
+    a dHash-style perceptual signature independent of input geometry."""
+    gray = img.mean(axis=2)
+    h, w = gray.shape
+    ys = np.linspace(0, h, grid + 1).astype(int)
+    xs = np.linspace(0, w, grid + 1).astype(int)
+    cells = np.empty((grid, grid), dtype=np.uint8)
+    for i in range(grid):
+        for j in range(grid):
+            block = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                         xs[j]:max(xs[j + 1], xs[j] + 1)]
+            cells[i, j] = np.uint8(block.mean())
+    return cells.tobytes().hex()
+
+
+def extract_features(media: DataFrame, *, fake_decode: bool = False,
                      payload_col: str = "payload") -> DataFrame:
-    """Arrow-batched feature extraction over a media table: decode (stub) →
-    8x8 mean-pool fingerprint, hex-encoded. Per-item failures → ``error``.
+    """Arrow-batched feature extraction over a media table: decode
+    (PPM/BMP natively; ``fake_decode=True`` accepts any payload) → 8×8
+    block-mean fingerprint, hex-encoded. Per-item failures → ``error``.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -79,8 +175,7 @@ def extract_features(media: DataFrame, *, fake_decode: bool = True,
                 sizes.append(len(payload))
                 try:
                     img = decode_image(bytes(payload), fake=fake_decode)
-                    feats.append(img.mean(axis=2).astype(np.uint8)
-                                 .tobytes().hex())
+                    feats.append(meanpool_fingerprint(img))
                     errors.append(None)
                 except Exception as e:  # per-item isolation
                     feats.append(None)
@@ -93,10 +188,15 @@ def extract_features(media: DataFrame, *, fake_decode: bool = True,
 
 
 def synth_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table (no external data)."""
+    """Deterministic synthetic media table: real encoded PPM payloads
+    (sha-seeded pseudo-pixels, varying geometry) — no external data."""
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(f"media:{i}".encode()).digest() * 4
-        rows.append(("m%04d" % i, "image", "image/fake", bytearray(payload),
-                     8, 8))
+        seed = int.from_bytes(
+            hashlib.sha256(f"media:{i}".encode()).digest()[:4], "big")
+        rng = np.random.default_rng(seed)
+        w, h = 4 + (i % 13), 4 + (i % 7)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows.append(("m%04d" % i, "image", "image/x-portable-pixmap",
+                     bytearray(encode_ppm(img)), w, h))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -61,6 +61,23 @@ def _split_iri(iri: str):
     return iri[: m.start()], local
 
 
+# Known-vocabulary prefixes, preferred over minted ns0… names — the
+# reference's get_qname consults the registered vocabulary list before
+# generating a namespace (writer.rb:546-590). Static table of the
+# ubiquitous vocabularies; anything else still mints ns<N>. Only *used*
+# namespaces are declared on the root element.
+KNOWN_PREFIXES = {
+    "http://www.w3.org/2000/01/rdf-schema#": "rdfs",
+    "http://www.w3.org/2002/07/owl#": "owl",
+    "http://www.w3.org/2001/XMLSchema#": "xsd",
+    "http://purl.org/dc/elements/1.1/": "dc",
+    "http://purl.org/dc/terms/": "dcterms",
+    "http://xmlns.com/foaf/0.1/": "foaf",
+    "http://www.w3.org/2004/02/skos/core#": "skos",
+    "http://usefulinc.com/ns/doap#": "doap",
+}
+
+
 class _QNames:
     def __init__(self):
         self.ns_to_prefix = {RDF_NS: "rdf"}
@@ -73,8 +90,10 @@ class _QNames:
         ns, local = parts
         prefix = self.ns_to_prefix.get(ns)
         if prefix is None:
-            prefix = f"ns{self._n}"
-            self._n += 1
+            prefix = KNOWN_PREFIXES.get(ns)
+            if prefix is None:
+                prefix = f"ns{self._n}"
+                self._n += 1
             self.ns_to_prefix[ns] = prefix
         return f"{prefix}:{local}"
 

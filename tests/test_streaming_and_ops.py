@@ -54,33 +54,77 @@ def test_windowed_event_counts_static(spark):
 # --- multimodal ---------------------------------------------------------------
 
 def test_decode_stub_contract():
+    # compressed-format payloads remain a declared seam...
     with pytest.raises(NotImplementedError):
-        decode_image(b"payload")
+        decode_image(b"\x89PNG...payload")
+    # ...with a deterministic fake decoder for plumbing tests
     a = decode_image(b"payload", fake=True)
     b = decode_image(b"payload", fake=True)
     assert a.shape == (8, 8, 3) and a.dtype.name == "uint8"
     assert (a == b).all()  # deterministic
 
 
-def test_extract_features_spark(spark):
+def test_decode_ppm_and_bmp_real():
+    import numpy as np
+    from rdf_rdfxml_spark.operators.multimodal import (
+        DecodeError, decode_bmp, decode_ppm, encode_ppm,
+    )
+    img = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(3, 5, 3)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    # PPM with a header comment
+    assert (decode_image(b"P6\n# c\n5 3\n255\n" + img.tobytes()) == img).all()
+    with pytest.raises(DecodeError):
+        decode_ppm(b"P6\n5 3\n255\n\x00\x00")  # truncated raster
+    # hand-built 2x2 bottom-up 24-bit BMP: rows padded to 4 bytes
+    px_bgr = bytes([3, 2, 1, 6, 5, 4]) + b"\x00\x00" \
+        + bytes([9, 8, 7, 12, 11, 10]) + b"\x00\x00"
+    header = (b"BM" + (54 + len(px_bgr)).to_bytes(4, "little")
+              + b"\x00" * 4 + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + (2).to_bytes(4, "little", signed=True)
+              + (2).to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + b"\x00" * 24)
+    got = decode_bmp(header + px_bgr)
+    # bottom-up: file row 0 is the image's bottom row; BGR→RGB swapped
+    assert got.tolist() == [[[7, 8, 9], [10, 11, 12]],
+                            [[1, 2, 3], [4, 5, 6]]]
+    # compression field lives at file offset 30
+    bad = header[:30] + (8).to_bytes(4, "little") + header[34:]
+    with pytest.raises(DecodeError):
+        decode_bmp(bad + px_bgr)  # comp != BI_RGB
+
+
+def test_extract_features_spark_real_ppm(spark):
+    # synth_media now carries real encoded PPM payloads → the default
+    # (non-fake) decode path runs end-to-end
     media = synth_media(spark, 32)
-    feats = extract_features(media, fake_decode=True)
-    rows = feats.collect()
+    rows = extract_features(media).collect()
     assert len(rows) == 32
     assert all(r["error"] is None for r in rows)
     assert all(len(r["feature"]) == 128 for r in rows)  # 64 bytes hex
     # same payload → same feature (deterministic across partitions)
     again = {r["media_id"]: r["feature"]
-             for r in extract_features(media.repartition(8),
-                                       fake_decode=True).collect()}
+             for r in extract_features(media.repartition(8)).collect()}
     assert all(again[r["media_id"]] == r["feature"] for r in rows)
 
 
-def test_extract_features_real_decoder_errors_isolated(spark):
-    media = synth_media(spark, 4)
-    feats = extract_features(media, fake_decode=False).collect()
-    assert all(r["feature"] is None for r in feats)
-    assert all("NotImplementedError" in r["error"] for r in feats)
+def test_extract_features_errors_isolated(spark):
+    from pyspark.sql import functions as F
+    media = synth_media(spark, 4).withColumn(
+        "payload",
+        F.when(F.col("media_id") == "m0001",
+               F.lit(bytearray(b"\x89PNG no codec")))     # unknown format
+        .when(F.col("media_id") == "m0002",
+              F.lit(bytearray(b"P6\n8 8\n255\n\x00")))    # truncated PPM
+        .otherwise(F.col("payload")))
+    rows = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert rows["m0001"]["feature"] is None
+    assert "NotImplementedError" in rows["m0001"]["error"]
+    assert rows["m0002"]["feature"] is None
+    assert "DecodeError" in rows["m0002"]["error"]
+    assert rows["m0000"]["error"] is None  # healthy items unaffected
+    assert rows["m0003"]["error"] is None
 
 
 # --- P/R scoring ---------------------------------------------------------------

@@ -130,3 +130,28 @@ def test_stylesheet_pi():
     assert '<?xml-stylesheet type="text/xsl" href="style.xsl"?>' in xml
     reparsed, errors = parse_rdfxml(xml, base_uri="", doc_key="ss")
     assert not errors and len(reparsed) == 1
+
+
+def test_known_vocab_prefixes_preferred():
+    """get_qname prefers registered vocabulary prefixes (writer.rb:546-590):
+    dc/foaf/rdfs terms render with their canonical prefixes, unknown
+    namespaces still mint ns0…, and only used namespaces are declared."""
+    from rdf_rdfxml_spark.writer.serialize import serialize_graph
+    triples = [
+        (("iri", "http://a/1"), "http://purl.org/dc/elements/1.1/title",
+         ("literal", "T", None, None)),
+        (("iri", "http://a/1"), "http://xmlns.com/foaf/0.1/name",
+         ("literal", "N", None, None)),
+        (("iri", "http://a/1"), "http://unknown.example/v#p",
+         ("literal", "U", None, None)),
+    ]
+    xml = serialize_graph(_rows(triples))
+    assert "<dc:title>T</dc:title>" in xml
+    assert "<foaf:name>N</foaf:name>" in xml
+    assert "<ns0:p>U</ns0:p>" in xml
+    assert 'xmlns:dc="http://purl.org/dc/elements/1.1/"' in xml
+    assert 'xmlns:foaf="http://xmlns.com/foaf/0.1/"' in xml
+    assert "xmlns:owl" not in xml  # unused vocab not declared
+    reparsed, errors = parse_rdfxml(xml, base_uri="", doc_key="kv")
+    assert not errors
+    assert isomorphic(reparsed, triples)
