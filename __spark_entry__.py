@@ -258,6 +258,35 @@ def q_lineage_invariant(spark, sf_dir):
             .agg(F.count("*").alias("n_docs_lineage_ok")))
 
 
+def q_resume_pending_units(spark, sf_dir):
+    # D5 checkpoint/resume, relationally: deterministic unit assignment
+    # (content-hash mod n) + left_anti against a manifest of completed
+    # units → pending docs per unit. The filesystem round-trip variant is
+    # pytest-covered (test_resumable_run_*); this checks the *protocol*.
+    from rdf_rdfxml_spark.operators.materialize import assign_units
+    docs = _docs(spark, sf_dir).selectExpr(
+        f"({D.xml_basic_expr()}) AS content")
+    du = assign_units(docs, 16)
+    manifest = spark.range(8).selectExpr("CAST(id AS INT) AS unit")
+    pending = du.join(manifest, "unit", "left_anti")
+    return pending.groupBy("unit").agg(F.count("*").alias("n_docs"))
+
+
+def q_extraction_metrics(spark, sf_dir):
+    # D6 per-partition metrics, keyed by the deterministic work unit (a
+    # physical partition id is engine- and schedule-dependent; the unit is
+    # the reproducible stand-in the resume protocol shards by anyway).
+    from rdf_rdfxml_spark.operators.materialize import unit_expr
+    ext = _parse(spark, sf_dir, D.xml_maybe_broken_expr(), strict=True)
+    return (ext.withColumn("unit", unit_expr(F.col("doc_sha"), 16))
+            .groupBy("unit")
+            .agg(F.countDistinct("doc_sha").alias("docs"),
+                 F.sum((F.col("rec") == "triple").cast("long"))
+                 .alias("triples"),
+                 F.sum((F.col("rec") == "error").cast("long"))
+                 .alias("errors")))
+
+
 # --- training-data ops --------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
@@ -521,6 +550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_linking_hashids": q_entity_linking_hashids,
         "predicate_stats": q_predicate_stats,
         "lineage_invariant": q_lineage_invariant,
+        "resume_pending_units": q_resume_pending_units,
+        "extraction_metrics": q_extraction_metrics,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -756,6 +787,26 @@ def oracle_sql() -> dict[str, str]:
             f"WITH src AS (SELECT ({D.xml_basic_expr()}) AS content"
             " FROM documents) SELECT CAST(COUNT(DISTINCT sha256(content))"
             " AS BIGINT) AS n_docs_lineage_ok FROM src"),
+
+        "resume_pending_units": f"""
+    WITH src AS (SELECT ({D.xml_basic_expr()}) AS content FROM documents),
+    u AS (SELECT CAST(('0x' || substring(sha256(content), 1, 15))
+                 ::VARCHAR::UBIGINT % 16 AS INTEGER) AS unit FROM src)
+    SELECT unit, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM u WHERE unit >= 8 GROUP BY unit""",
+
+        "extraction_metrics": f"""
+    WITH src AS (SELECT doc_id,
+                 ({D.xml_maybe_broken_expr()}) AS content FROM documents),
+    u AS (SELECT doc_id, sha256(content) AS doc_sha,
+                 CAST(('0x' || substring(sha256(content), 1, 15))
+                 ::VARCHAR::UBIGINT % 16 AS INTEGER) AS unit FROM src)
+    SELECT unit, CAST(COUNT(DISTINCT doc_sha) AS BIGINT) AS docs,
+           CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN 0 ELSE 5 END) AS BIGINT)
+             AS triples,
+           CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS errors
+    FROM u GROUP BY unit""",
 
         "dedup_exact": """
     SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -8,7 +8,9 @@ hashing avoids the skew a ``repo`` partition would have at 10¹²-file scale
 files near the 128 MB–1 GB sweet spot.
 
 Resume protocol (D5): documents are assigned to deterministic work units
-``unit = pmod(xxhash64(doc_sha), n_units)``. A manifest table records
+``unit = (first 60 bits of sha256(content)) mod n_units`` — a pure function
+of content that DuckDB can also compute, so the driver gate can verify the
+assignment and the left_anti pending-set relationally. A manifest table records
 completed units; on restart, pending work = ``left_anti`` join against the
 manifest. Blank-node ids and doc_sha lineage are deterministic functions of
 content (D1), so a re-run of any unit is byte-identical — append-mode
@@ -35,11 +37,18 @@ def materialize(triples: DataFrame, path: str, *, n_buckets: int = 256,
      .write.mode(mode).partitionBy("bucket").parquet(path))
 
 
+def unit_expr(sha_col, n_units: int):
+    """Work-unit id from a sha256 hex column: first 15 hex chars (60 bits,
+    fits BIGINT exactly in Spark and DuckDB) mod ``n_units``. Engine-
+    portable on purpose — the resume protocol is oracle-checked."""
+    return F.pmod(
+        F.conv(F.substring(sha_col, 1, 15), 16, 10).cast("bigint"),
+        F.lit(n_units)).cast("int")
+
+
 def assign_units(documents: DataFrame, n_units: int) -> DataFrame:
     return documents.withColumn(
-        "unit",
-        F.pmod(F.xxhash64(F.sha2(F.col("content"), 256)),
-               F.lit(n_units)).cast("int"))
+        "unit", unit_expr(F.sha2(F.col("content"), 256), n_units))
 
 
 def pending_units(spark: SparkSession, documents_with_units: DataFrame,
