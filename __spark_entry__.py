@@ -177,6 +177,48 @@ def q_error_channel(spark, sf_dir):
             .agg(F.count("*").alias("n_errors")))
 
 
+def q_w3c_suite(spark, sf_dir):
+    # The north rule's correctness corpus, end-to-end through the Spark
+    # pipeline: every vendored W3C rdf11/rdf-xml manifest entry becomes one
+    # document row (test id carried in `path`), runs through the same
+    # mapInArrow extract stage as production, and reports per-test triple/
+    # error counts. The oracle twin carries the expected counts read from
+    # the vendored golden .nt files (pure data — not parser output).
+    # Isomorphism-exact grading is tests/test_w3c_suite.py (P/R gate).
+    from rdf_rdfxml_spark.sources.w3c import load_manifest
+    rows = []
+    for e in load_manifest():
+        rows.append({
+            "repo": "w3c", "path": e.test_id, "commit": "0",
+            "lang": "rdfxml",
+            "content": e.read_action().decode("utf-8"),
+            "base_uri": e.base,
+        })
+    docs = spark.createDataFrame(rows)
+    ext = extract(docs, strict=True)
+    return (ext.groupBy(F.col("path").alias("test_id"))
+            .agg(F.sum((F.col("rec") == "triple").cast("long"))
+                 .alias("n_triples"),
+                 F.max((F.col("rec") == "error").cast("long"))
+                 .alias("has_errors")))
+
+
+def _w3c_oracle() -> str:
+    from rdf_rdfxml_spark.functions.nt import parse_nt
+    from rdf_rdfxml_spark.sources.w3c import load_manifest
+    rows = []
+    for e in load_manifest():
+        if e.kind == "eval":
+            n = len(set(parse_nt(e.read_result())))
+            rows.append(f"('{e.test_id}', {n}, 0)")
+        else:
+            rows.append(f"('{e.test_id}', 0, 1)")
+    values = ",\n      ".join(rows)
+    return (f"SELECT test_id, CAST(n_triples AS BIGINT) AS n_triples,"
+            f" CAST(has_errors AS BIGINT) AS has_errors FROM (VALUES\n"
+            f"      {values}) AS t(test_id, n_triples, has_errors)")
+
+
 def q_format_sniff(spark, sf_dir):
     # S1: content sniff /<(\w+:)?RDF/ (format.rb:40-51)
     docs = _docs(spark, sf_dir).selectExpr(
@@ -541,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfxml_roundtrip": q_roundtrip,
         "rdfxml_roundtrip_attrs": q_roundtrip_attr_folding,
         "rdfxml_error_channel": q_error_channel,
+        "rdfxml_w3c_suite": q_w3c_suite,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "rdfxml_format_sniff": q_format_sniff,
         "triples_dedup_global": q_dedup_global,
@@ -727,6 +770,8 @@ def oracle_sql() -> dict[str, str]:
             _oracle_docs_cte(D.xml_maybe_broken_expr())
             + " SELECT doc_sha, CAST(1 AS BIGINT) AS n_errors FROM d"
             " WHERE doc_id % 7 = 3"),
+
+        "rdfxml_w3c_suite": _w3c_oracle(),
 
         "rdfxml_format_sniff": f"""
     WITH c AS (SELECT ({sniff_expr}) AS content FROM documents)
