@@ -177,24 +177,27 @@ class DocumentParser:
         self.triples.append((subject, predicate, obj))
 
     # -- entry (reader.rb:185-230) ----------------------------------------------
-    def parse(self, content) -> None:
+    def parse(self, content):
+        """Parse; returns the DOM root (or None on XML error) so callers
+        can collect namespace declarations (prefix bookkeeping)."""
         try:
             root = parse_document(content)
         except XMLParseError as e:
             self.error(f"XML parse error: {e}")
-            return
+            return None
         islands = find_rdf_islands(root)
         if not islands:
             # Root element processed as a node element (reader.rb:196-204).
             ec = EvaluationContext(self.base_uri)
             ec.extract_from_element(root)
             self.node_element(root, ec)
-            return
+            return root
         for island in islands:
             ec = EvaluationContext(self.base_uri)
             ec.extract_from_ancestors(island)
             for child in island.element_children():
                 self.node_element(child, ec.clone(child))
+        return root
 
     # -- productions -------------------------------------------------------------
     def node_element(self, el: Element, ec: EvaluationContext):
@@ -431,17 +434,30 @@ class DocumentParser:
 
 
 def parse_rdfxml(content, base_uri: str = "", doc_key: str = "doc",
-                 strict: bool = True):
+                 strict: bool = True, canonicalize: bool = False,
+                 prefixes: dict | None = None):
     """Parse one RDF/XML document.
 
     Returns ``(triples, errors)`` where triples is a list of
     ``(subject_term, predicate_iri, object_term)`` tuples. Under ``strict``
     (the reference's ``validate:`` mode, reader.rb:225-227) a document with
     any error yields **no** triples — W3C negative-syntax semantics.
+
+    ``canonicalize``: off-by-default literal canonicalization (reference
+    reader option, reader.rb:128-129) — valid lexical forms of the core
+    XSD numeric/boolean datatypes are rewritten to canonical form.
+
+    ``prefixes``: pass a dict to collect the namespace declarations seen
+    during the parse (prefix → namespace URI, later declarations win) —
+    the reference's ``prefix()`` bookkeeping (reader.rb:199,217).
     """
     parser = DocumentParser(doc_key, base_uri)
     try:
-        parser.parse(content)
+        root = parser.parse(content)
+        if prefixes is not None and root is not None:
+            for el in root.iter_elements():
+                for prefix, uri in el.ns_decls:
+                    prefixes[prefix] = uri
     except RecursionError:
         # A poison-pill document (hostile nesting) must land in the error
         # channel, not kill the Spark task — a retry would just die again.
@@ -452,4 +468,11 @@ def parse_rdfxml(content, base_uri: str = "", doc_key: str = "doc",
         return [], parser.errors
     if strict and parser.errors:
         return [], parser.errors
-    return parser.triples, parser.errors
+    triples = parser.triples
+    if canonicalize:
+        from ..functions.xsd import canonicalize_literal
+        triples = [
+            (s, p, ("literal", canonicalize_literal(o[1], o[3]), o[2], o[3])
+             if o[0] == "literal" and o[3] else o)
+            for s, p, o in triples]
+    return triples, parser.errors

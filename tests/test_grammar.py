@@ -431,3 +431,39 @@ def test_quirk_type_attr_on_empty_property_is_plain_literal():
     assert not errors
     objs = {(t[1], t[2]) for t in triples}
     assert (RDF + "type", ("literal", "http://t/", None, None)) in objs
+
+
+def test_canonicalize_option_off_by_default_and_correct():
+    """Reference reader option `canonicalize: (false)` (reader.rb:128-129):
+    valid core-XSD lexical forms → canonical form; invalid forms and
+    unknown datatypes untouched; plain literals never touched."""
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    doc = f"""<rdf:RDF xmlns:rdf="{RDF}" xmlns:eg="http://e/">
+      <rdf:Description rdf:about="http://a/">
+        <eg:i rdf:datatype="{xsd}integer">+0010</eg:i>
+        <eg:b rdf:datatype="{xsd}boolean">1</eg:b>
+        <eg:d rdf:datatype="{xsd}decimal">02.50</eg:d>
+        <eg:f rdf:datatype="{xsd}double">123.45</eg:f>
+        <eg:bad rdf:datatype="{xsd}integer">abc</eg:bad>
+        <eg:u rdf:datatype="http://other/dt">007</eg:u>
+        <eg:plain>007</eg:plain>
+      </rdf:Description></rdf:RDF>"""
+    plain, _ = parse_rdfxml(doc, doc_key="d")
+    assert sorted(o[1] for _, _, o in plain) == sorted(
+        ["+0010", "1", "02.50", "123.45", "abc", "007", "007"])
+    canon, _ = parse_rdfxml(doc, doc_key="d", canonicalize=True)
+    got = {p.split("/")[-1]: o[1] for _, p, o in canon}
+    assert got == {"i": "10", "b": "true", "d": "2.5", "f": "1.2345E2",
+                   "bad": "abc", "u": "007", "plain": "007"}
+
+
+def test_prefix_bookkeeping():
+    """Reference prefix() callback surface (reader.rb:199,217): namespace
+    declarations seen during the parse are collectable."""
+    doc = (f'<rdf:RDF xmlns:rdf="{RDF}" xmlns:a="http://a/">'
+           f'<rdf:Description xmlns:b="http://b/" rdf:about="http://x/">'
+           f'<b:p>v</b:p></rdf:Description></rdf:RDF>')
+    prefixes = {}
+    triples, errors = parse_rdfxml(doc, doc_key="d", prefixes=prefixes)
+    assert not errors and len(triples) == 1
+    assert prefixes == {"rdf": RDF, "a": "http://a/", "b": "http://b/"}
