@@ -135,8 +135,10 @@ def main():
 
     headline = ["rdfxml_extract_basic", "rdfxml_reification",
                 "rdfxml_error_channel", "triples_dedup_global",
-                "entity_linking", "dedup_exact", "minhash_lsh", "simhash",
-                "ann_cosine_topk", "text_quality", "events_windowed"]
+                "entity_linking", "entity_linking_salted", "dedup_exact",
+                "minhash_lsh", "simhash", "ann_cosine_topk",
+                "dedup_embedding_bucketed", "text_quality",
+                "events_windowed"]
     qmap = E.queries()
     for name in headline:
         t0 = time.time()

