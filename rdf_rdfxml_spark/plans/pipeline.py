@@ -44,10 +44,13 @@ def construct_graph(
     if repartition:
         documents = documents.repartition(
             repartition, F.xxhash64(F.col("content")))
-    extracted = extract(documents, strict=strict)
+    # Per-document set semantics happen *inside* the parse UDF (a
+    # document's triples are partition-local by construction), so the
+    # flagship plan has no post-parse shuffle at all; use
+    # operators.dedup.dedup_document explicitly if the input table may
+    # contain duplicate rows of the same document.
+    extracted = extract(documents, strict=strict, dedup=dedup)
     triples = triples_channel(extracted)
-    if dedup:
-        triples = dedup_document(triples)
     return GraphResult(extracted=extracted, triples=triples,
                        errors=errors_channel(extracted))
 
