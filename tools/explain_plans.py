@@ -56,6 +56,25 @@ def main():
         .explain("formatted")
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+    from rdf_rdfxml_spark.operators.ann import (
+        dedup_embedding_bucketed, load_embeddings,
+    )
+    from rdf_rdfxml_spark.operators.sketch import minhash_candidates
+
+    print("=" * 72)
+    print("5. minhash LSH — signatures in one mapInArrow stage; the only "
+          "exchange is the banded equi-join on (band_id, band_hash)")
+    print("=" * 72)
+    minhash_candidates(docs.select("doc_id", "text")).explain("formatted")
+
+    print("=" * 72)
+    print("6. bucketed embedding dedup — distinct candidate ids, explicit "
+          "re-spread (AQE byte-coalescing countermeasure), broadcast unit "
+          "vectors: the pair join moves no arrays")
+    print("=" * 72)
+    dedup_embedding_bucketed(load_embeddings(spark, sf_dir)) \
+        .explain("formatted")
     spark.stop()
 
 
