@@ -26,6 +26,7 @@ from rdf_rdfxml_spark.operators.linking import (
 )
 from rdf_rdfxml_spark.operators import ann as _ANN
 from rdf_rdfxml_spark.operators import sketch as _SK
+from rdf_rdfxml_spark.operators import textlang as _TL
 from rdf_rdfxml_spark.plans.pipeline import construct_graph
 from rdf_rdfxml_spark.sources import documents as D
 from rdf_rdfxml_spark.sources.fixtures import corpus
@@ -510,6 +511,26 @@ def q_lang_id(spark, sf_dir):
         "> 0 THEN 'en-like' ELSE 'other' END AS predicted")
 
 
+def q_doc_winnowing(spark, sf_dir):
+    # Winnowing (rolling k-gram hash, window minima): the containment-
+    # search fingerprint — any shared substring of length >= k+w-1 yields
+    # a shared fingerprint. Document-local (mapInArrow, zero shuffle).
+    from rdf_rdfxml_spark.operators.sketch import winnow_fingerprints
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    return winnow_fingerprints(docs)
+
+
+def q_lang_id_trigram(spark, sf_dir):
+    # Character-trigram profile language-ID (Cavnar-Trenkle family) —
+    # replaces the two-stopword placeholder signal; profiles are literal
+    # constants shared with the oracle SQL.
+    from rdf_rdfxml_spark.operators.textlang import langid_trigram
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    return langid_trigram(docs)
+
+
 def q_doc_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id",
@@ -606,7 +627,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
+        "lang_id_trigram": q_lang_id_trigram,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_winnowing": q_doc_winnowing,
         "multimodal_features": q_multimodal_features,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
@@ -967,6 +990,10 @@ def oracle_sql() -> dict[str, str]:
             x -> x IN ('the', 'a'))) > 0
            THEN 'en-like' ELSE 'other' END AS predicted
     FROM documents""",
+
+        "doc_winnowing": _SK.winnow_oracle_sql(),
+
+        "lang_id_trigram": _TL.langid_oracle_sql(),
 
         "doc_fingerprint": """
     SELECT doc_id, md5(lower(text)) AS fingerprint,

@@ -224,3 +224,73 @@ def simhash_oracle_sql(*, bits: int = SIMHASH_BITS,
                     THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
                     ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id"""
+
+
+def _winnow_fn(k: int, window: int):
+    md5 = hashlib.md5
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            doc_ids = rb.column(rb.schema.get_field_index("doc_id")).to_pylist()
+            texts = rb.column(rb.schema.get_field_index("text")).to_pylist()
+            out_doc, out_fp = [], []
+            for d, t in zip(doc_ids, texts):
+                if t is None or len(t) < k + window - 1:
+                    continue
+                hs = np.fromiter(
+                    (int.from_bytes(md5(t[i:i + k].encode("utf-8"))
+                                    .digest()[:4], "big")
+                     for i in range(len(t) - k + 1)),
+                    dtype=np.int64, count=len(t) - k + 1)
+                # sliding-window minima via a strided view (document-local,
+                # O(n·w) worst case but w is tiny)
+                win = np.lib.stride_tricks.sliding_window_view(hs, window)
+                fps = np.unique(win.min(axis=1))
+                out_doc.extend([d] * len(fps))
+                out_fp.extend(int(x) for x in fps)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_doc, type=pa.int64()),
+                 pa.array(out_fp, type=pa.int64())],
+                names=["doc_id", "fp"])
+
+    return fn
+
+
+def winnow_fingerprints(docs: DataFrame, *, k: int = 8,
+                        window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03,
+    simplified to plain per-window minima): hash every ``k``-gram, keep the
+    minimum of each ``window`` of consecutive k-gram hashes, emit the
+    distinct selected hashes. Guarantees any shared substring of length
+    ≥ k + window − 1 contributes at least one shared fingerprint — the
+    containment-search primitive for plagiarism/near-dup detection.
+
+    Same scale shape as minhash: fingerprints are document-local
+    (mapInArrow, zero shuffle); only the small (doc_id, fp) rows move.
+    """
+    pruned = docs.select("doc_id", "text")
+    return pruned.mapInArrow(_winnow_fn(k, window),
+                             schema="doc_id long, fp long")
+
+
+def winnow_oracle_sql(*, k: int = 8, window: int = 4,
+                      table: str = "documents") -> str:
+    """DuckDB twin: same k-gram md5-prefix hash, window MIN over position
+    order, DISTINCT — evaluated relationally at oracle scale."""
+    return f"""
+    WITH g AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             CAST(('0x' || substring(
+                 md5(substring(text, CAST(i AS INTEGER), {k})), 1, 8))
+                 ::VARCHAR::UBIGINT AS BIGINT) AS h
+      FROM {table}, generate_series(1, 100000) AS s(i)
+      WHERE i <= len(text) - {k - 1}),
+    w AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN {window - 1} PRECEDING
+                          AND CURRENT ROW) AS fp,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM g)
+    SELECT DISTINCT doc_id, fp FROM w
+    WHERE pos >= {window} AND n >= {window}"""

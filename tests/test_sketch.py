@@ -125,3 +125,45 @@ def test_minhash_band_count(spark, n_hashes, n_bands):
                                  "doc_id long, text string")
     rows = minhash_bands(docs, n_hashes=n_hashes, n_bands=n_bands).collect()
     assert sorted(r["band_id"] for r in rows) == list(range(n_bands))
+
+
+def test_winnowing_containment_guarantee(spark):
+    """Winnowing's defining property: any shared substring of length
+    >= k + w - 1 contributes at least one shared fingerprint."""
+    from rdf_rdfxml_spark.operators.sketch import winnow_fingerprints
+    shared = "zqxjvkwpfy_shared_run_zqxjvkwpfy"   # 32 chars >= 8+4-1
+    docs = spark.createDataFrame(
+        [(1, "aaaa " + shared + " bbbb"),
+         (2, "cccc dddd " + shared),
+         (3, "totally unrelated content here with no overlap at all")],
+        "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprints(docs).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2]            # shared substring → shared fp
+    assert not (fps[1] & fps[2] & fps[3])
+    # short / null texts produce no fingerprints
+    tiny = spark.createDataFrame([(9, "abcdefghij"[:10]), (10, None)],
+                                 "doc_id long, text string")
+    got = winnow_fingerprints(tiny, k=8, window=4).collect()
+    assert got == []
+
+
+def test_langid_trigram_separates_languages(spark):
+    from rdf_rdfxml_spark.operators.textlang import langid_trigram
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog are in the garden of the house"),
+         (2, "der hund und die katze sind in dem schönen garten"),
+         (3, "le chat et le chien sont dans le jardin de la maison"),
+         (4, "el perro y el gato están en el jardín de la casa")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["predicted"] for r in langid_trigram(docs).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es"}
+
+
+def test_langid_trigram_deterministic_tiebreak(spark):
+    from rdf_rdfxml_spark.operators.textlang import langid_trigram
+    docs = spark.createDataFrame([(1, "xqz")], "doc_id long, text string")
+    r, = langid_trigram(docs).collect()
+    assert r["predicted"] == "de"  # all scores 0 → lexicographically first
+    assert all(r[f"{lang}_score"] == 0 for lang in ("en", "de", "fr", "es"))
