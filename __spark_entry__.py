@@ -481,6 +481,17 @@ def q_ann_ivf_topk(spark, sf_dir):
                     F.round("sim", 4).alias("sim_r")))
 
 
+def q_ann_ivf_trained(spark, sf_dir):
+    # Trained IVF: deterministic Lloyd's k-means (2 fixed iterations,
+    # per-iteration 1e-6 centroid rounding as the cross-engine float
+    # contract) — upgrades the data-derived centroids the other ANN
+    # queries use; the oracle recomputes the whole algorithm in SQL.
+    from rdf_rdfxml_spark.operators.ann import (
+        ann_ivf_trained_stats, load_embeddings,
+    )
+    return ann_ivf_trained_stats(load_embeddings(spark, sf_dir))
+
+
 def q_text_quality(spark, sf_dir):
     return _docs(spark, sf_dir).selectExpr(
         "doc_id",
@@ -624,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_trained": q_ann_ivf_trained,
         "text_quality": q_text_quality,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
@@ -956,6 +968,8 @@ def oracle_sql() -> dict[str, str]:
     FROM r WHERE rnk <= 3""",
 
         "ann_lsh_bucketed": _ANN.lsh_topk_oracle_sql(),
+
+        "ann_ivf_trained": _ANN.kmeans_oracle_sql(),
 
         "dedup_embedding_bucketed": _ANN.dedup_bucketed_oracle_sql(),
 

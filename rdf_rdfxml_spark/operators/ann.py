@@ -215,3 +215,146 @@ def lsh_topk_oracle_sql(*, n_planes: int = 4, k: int = 3,
     SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
            ROUND(sim, 4) AS sim_r
     FROM r WHERE rnk <= {k}"""
+
+
+def _centroid_partials(k: int):
+    """mapInArrow stage: per-batch (cell_id, n, sums[dim]) partial
+    aggregates — the treeAggregate shape of k-means without exploding
+    n×dim rows into a shuffle."""
+    import numpy as np
+    import pyarrow as pa
+
+    def fn(batches):
+        for rb in batches:
+            cells = rb.column(rb.schema.get_field_index("cell_id")).to_pylist()
+            vs = rb.column(rb.schema.get_field_index("v")).to_pylist()
+            acc: dict = {}
+            for c, v in zip(cells, vs):
+                a = acc.get(c)
+                if a is None:
+                    acc[c] = [1, np.asarray(v, dtype=np.float64)]
+                else:
+                    a[0] += 1
+                    a[1] += np.asarray(v, dtype=np.float64)
+            if acc:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(list(acc), type=pa.int32()),
+                     pa.array([a[0] for a in acc.values()], type=pa.int64()),
+                     pa.array([a[1].tolist() for a in acc.values()],
+                              type=pa.list_(pa.float64()))],
+                    names=["cell_id", "n", "sums"])
+
+    return fn
+
+
+def _assign_to(emb: DataFrame, centroids: list) -> DataFrame:
+    """Argmax-cosine assignment against a driver-side centroid list
+    (model-sized: k×dim floats), deterministic (cos DESC, cell ASC)."""
+    spark = emb.sparkSession
+    cent = F.broadcast(spark.createDataFrame(
+        [(int(c), list(map(float, v))) for c, v in centroids],
+        "cell_id int, cv array<double>"))
+    scored = (emb.crossJoin(cent)
+              .selectExpr("vec_id", "v", "cell_id",
+                          f"({_cos('v', 'cv')}) AS c"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cell_id"))
+    return (scored.withColumn("crank", F.row_number().over(w))
+            .filter("crank = 1").select("vec_id", "v", "cell_id", "c"))
+
+
+def kmeans_cells(emb: DataFrame, *, k: int = 8, iters: int = 2,
+                 round_dec: int = 6):
+    """Deterministic Lloyd's k-means over cosine similarity: init = the
+    ``k`` lowest vec_ids, ``iters`` fixed iterations, centroids rounded to
+    ``round_dec`` decimals after every mean.
+
+    The rounding is the cross-engine float contract: partial-sum order is
+    nondeterministic in both Spark and DuckDB, but the accumulated error
+    (~1e-13 for corpus-sized cells) is far below the 1e-6 rounding grain,
+    so both engines converge to bit-identical centroids and therefore
+    identical assignments — the oracle recomputes the whole algorithm in
+    SQL, nothing is fed across.
+
+    Centroid state lives on the driver between iterations (k×dim floats —
+    model-sized); per-iteration cost is one broadcast-assign + one
+    mapInArrow partial-sum pass, no explode, no wide shuffle.
+
+    Returns ``(assignment DataFrame, centroids list)``.
+    """
+    init = (emb.orderBy("vec_id").limit(k)
+            .selectExpr("vec_id", "v").collect())
+    centroids = [(i, [round(float(x), round_dec) for x in r["v"]])
+                 for i, r in enumerate(init)]
+    for _ in range(iters):
+        assign = _assign_to(emb, centroids)
+        partials = (assign.select("cell_id", "v")
+                    .mapInArrow(_centroid_partials(k),
+                                schema="cell_id int, n long, "
+                                       "sums array<double>")
+                    .collect())
+        agg: dict = {}
+        for r in partials:
+            c = r["cell_id"]
+            if c in agg:
+                agg[c][0] += r["n"]
+                agg[c][1] = [a + b for a, b in zip(agg[c][1], r["sums"])]
+            else:
+                agg[c] = [r["n"], list(r["sums"])]
+        centroids = [(c, [round(s / n, round_dec) for s in sums])
+                     for c, (n, sums) in sorted(agg.items())]
+    return _assign_to(emb, centroids), centroids
+
+
+def ann_ivf_trained_stats(emb: DataFrame, *, k: int = 8,
+                          iters: int = 2) -> DataFrame:
+    """Driver-gate view of the trained index: per cell, member count and
+    mean member-to-centroid cosine (rounded) — the quantization-quality
+    rollup an IVF build job would emit."""
+    assign, _ = kmeans_cells(emb, k=k, iters=iters)
+    return (assign.groupBy("cell_id")
+            .agg(F.count("*").alias("n_vectors"),
+                 F.round(F.avg("c"), 4).alias("avg_cos_r")))
+
+
+def kmeans_oracle_sql(*, k: int = 8, iters: int = 2, round_dec: int = 6,
+                      table: str = "embeddings") -> str:
+    """DuckDB twin: the same Lloyd iterations unrolled as CTE pairs
+    (assign_i → cent_i), means rounded identically, final per-cell stats."""
+    cos = ("list_dot_product(e.v, c.cv) / "
+           "(sqrt(list_dot_product(e.v, e.v)) * "
+           "sqrt(list_dot_product(c.cv, c.cv)))")
+    parts = [f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+    dims AS (SELECT CAST(i AS INTEGER) AS d
+             FROM generate_series(1, 4096) AS g(i)
+             WHERE i <= (SELECT len(v) FROM e LIMIT 1)),
+    cent0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cell_id,
+             list_transform(v, x -> ROUND(x, {round_dec})) AS cv
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))"""]
+    for i in range(iters):
+        parts.append(f"""
+    assign{i} AS (
+      SELECT vec_id, v, cell_id FROM (
+        SELECT e.vec_id, e.v, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos} DESC, c.cell_id) AS rnk
+        FROM e, cent{i} c) WHERE rnk = 1),
+    cent{i + 1} AS (
+      SELECT cell_id, list(ROUND(m, {round_dec}) ORDER BY d) AS cv
+      FROM (
+        SELECT a.cell_id, dims.d, AVG(a.v[dims.d]) AS m
+        FROM assign{i} a, dims
+        GROUP BY a.cell_id, dims.d)
+      GROUP BY cell_id)""")
+    return ("WITH" + ",".join(parts) + f""",
+    final AS (
+      SELECT vec_id, cell_id, c FROM (
+        SELECT e.vec_id, c.cell_id, {cos} AS c,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos} DESC, c.cell_id) AS rnk
+        FROM e, cent{iters} c) WHERE rnk = 1)
+    SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(AVG(c), 4) AS avg_cos_r
+    FROM final GROUP BY cell_id""")

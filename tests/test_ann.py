@@ -75,3 +75,19 @@ def test_lsh_topk_neighbors_share_bucket_and_rank(spark, vectors):
                 if buckets[i] == buckets[q] and i != q]
         best = max(cand, key=lambda i: (s[q, i], -i))
         assert rs[0]["neighbor_id"] == best
+
+
+def test_kmeans_improves_quantization_and_is_deterministic(spark):
+    from pyspark.sql import functions as F
+    from rdf_rdfxml_spark.operators.ann import kmeans_cells, load_embeddings
+    emb = load_embeddings(spark, SF_DIR)
+    a0, c0 = kmeans_cells(emb, k=8, iters=0)   # init = lowest vec_ids
+    a2, c2 = kmeans_cells(emb, k=8, iters=2)
+    q0 = a0.agg(F.avg("c")).first()[0]
+    q2 = a2.agg(F.avg("c")).first()[0]
+    assert q2 > q0  # Lloyd iterations must raise mean member-centroid cos
+    # deterministic: identical centroids on a re-run
+    _, c2b = kmeans_cells(emb, k=8, iters=2)
+    assert c2 == c2b
+    # every vector assigned exactly once
+    assert a2.count() == emb.count()
