@@ -160,6 +160,13 @@ def main():
     queries["kg_construct"] = round(best_kg, 3)
     kg_rate = n_triples / best_kg
 
+    # BASELINE.md protocol step 5: per-partition balance evidence — the
+    # scaling gate depends on even task sizing, so record max/median
+    # docs-per-partition for the measured corpus (one extra pass).
+    from rdf_rdfxml_spark.operators.extract import extract
+    from rdf_rdfxml_spark.operators.metrics import skew_ratio
+    kg_skew = skew_ratio(extract(_bench_docs(spark, sf_dir, replicate)))
+
     headline = ["rdfxml_extract_basic", "rdfxml_reification",
                 "rdfxml_error_channel", "triples_dedup_global",
                 "entity_linking", "entity_linking_salted", "dedup_exact",
@@ -187,6 +194,7 @@ def main():
         "sf": sf,
         "kg_triples": n_triples,
         "kg_triples_per_sec": round(kg_rate),
+        "kg_skew_ratio_docs_per_partition": round(kg_skew, 3),
         "kg_docs_per_sec": round(kg_rate / 5),  # 5 triples per bench doc
         "cpus": cpus,
     }))

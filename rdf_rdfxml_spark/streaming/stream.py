@@ -63,3 +63,17 @@ def windowed_event_counts(events: DataFrame, *, watermark: str = "2 hours",
                  .alias("value_cents"))
             .select(F.unix_timestamp(F.col("w.start")).alias("window_start"),
                     "event_type", "n", "value_cents"))
+
+
+def stream_dedup_documents(docs_stream: DataFrame, *,
+                           watermark: str = "1 hour",
+                           ts_col: str = "ingested_at") -> DataFrame:
+    """Streaming exact dedup: drop documents whose content hash was already
+    seen within the watermark horizon (`dropDuplicatesWithinWatermark` —
+    state is bounded by the watermark instead of growing forever, which is
+    the only tractable contract for an unbounded crawl stream; cross-
+    horizon dedup belongs to the batch `dedup_exact`/manifest layer)."""
+    hashed = docs_stream.withColumn("content_sha",
+                                    F.sha2(F.col("content"), 256))
+    return (hashed.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["content_sha"]))

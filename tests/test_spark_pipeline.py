@@ -178,3 +178,19 @@ def test_resumable_run_completes_and_is_idempotent(spark, docs_df, tmp_path):
     docs_u = assign_units(docs_df, 8)
     pend = pending_units(spark, docs_u, manifest)
     assert pend.count() == 0
+
+
+def test_in_udf_dedup_vs_shuffle_dedup_semantics(spark):
+    """extract(dedup=True) == per-document set semantics, shuffle-free; the
+    explicit dedup_document operator additionally collapses *duplicate
+    rows* of the same document — the documented seam between them."""
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:ex="http://e/">
+      <rdf:Description rdf:about="http://a/"><ex:p>v</ex:p><ex:p>v</ex:p></rdf:Description>
+    </rdf:RDF>"""
+    docs = spark.createDataFrame(
+        [{"content": doc, "base_uri": ""},
+         {"content": doc, "base_uri": ""}])  # same document row twice
+    local = triples_channel(extract(docs, dedup=True))
+    assert local.count() == 2          # 1 per copy (in-doc dup collapsed)
+    assert dedup_document(local).count() == 1  # row-duplicates collapsed

@@ -25,6 +25,34 @@ def _docs_df(spark, rows):
 
 # --- streaming ---------------------------------------------------------------
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    import datetime as dt
+    from rdf_rdfxml_spark.streaming.stream import stream_dedup_documents
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        ("r", "p1", "c", "x", "<same/>", t0),
+        ("r", "p2", "c", "x", "<same/>", t0 + dt.timedelta(minutes=5)),
+        ("r", "p3", "c", "x", "<other/>", t0 + dt.timedelta(minutes=6)),
+    ]
+    src = str(tmp_path / "dd_in")
+    spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string, ingested_at timestamp").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema).parquet(src))
+    out = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    q = (stream_dedup_documents(stream).writeStream
+         .option("checkpointLocation", ckpt)
+         .format("parquet").option("path", out)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # one row per distinct content within the watermark horizon
+    assert got.count() == 2
+    assert {r["content"] for r in got.collect()} == {"<same/>", "<other/>"}
+
+
 def test_stream_construct_available_now(spark, tmp_path):
     rows = [r for r in corpus(2) if not r["negative"]]
     src = str(tmp_path / "in")
