@@ -66,3 +66,52 @@ def test_w3c_micro_pr_gate():
     # record the numbers where the bench reader can see them
     print(f"\nW3C eval micro P/R: precision={precision:.4f} "
           f"recall={recall:.4f} tp={tp} fp={fp} fn={fn}")
+
+
+def _golden_rows(entry):
+    rows = []
+    for s, p, o in parse_nt(entry.read_result()):
+        rows.append({
+            "s": s[1], "s_kind": s[0], "p": p,
+            "o": o[1], "o_kind": o[0],
+            "o_lang": o[2] if o[0] == "literal" else None,
+            "o_dt": o[3] if o[0] == "literal" else None,
+        })
+    return rows
+
+
+@pytest.mark.parametrize("entry", EVAL, ids=lambda e: e.test_id)
+def test_w3c_writer_roundtrip(entry):
+    """The reference's writer contract (writer_spec.rb:685-706): serialize
+    each positive-eval golden graph to RDF/XML, re-parse, compare
+    isomorphic."""
+    from rdf_rdfxml_spark.writer.serialize import serialize_graph
+    golden = parse_nt(entry.read_result())
+    xml = serialize_graph(_golden_rows(entry))
+    reparsed, errors = parse_rdfxml(xml, base_uri="",
+                                    doc_key=entry.test_id, strict=True)
+    assert errors == [], f"{entry.test_id}: writer output rejected {errors}"
+    assert isomorphic(reparsed, golden), f"{entry.test_id}:\n{xml}"
+
+
+@pytest.mark.parametrize("attributes", ["untyped", "typed"])
+def test_w3c_writer_roundtrip_attribute_modes(attributes):
+    """'untyped' folding is semantics-preserving everywhere; 'typed'
+    folding is *documented lossy* on rdf:datatype (the reference's own
+    semantics, writer.rb:500-525) — so typed mode is asserted only on
+    graphs without non-XMLLiteral datatyped literals."""
+    from rdf_rdfxml_spark.writer.serialize import RDF_XMLLITERAL, serialize_graph
+    checked = 0
+    for entry in EVAL:
+        golden = parse_nt(entry.read_result())
+        if attributes == "typed" and any(
+                o[0] == "literal" and o[3] and o[3] != RDF_XMLLITERAL
+                for _s, _p, o in golden):
+            continue  # datatype folding is lossy by design
+        xml = serialize_graph(_golden_rows(entry), attributes=attributes)
+        reparsed, errors = parse_rdfxml(xml, base_uri="",
+                                        doc_key=entry.test_id, strict=True)
+        assert errors == [], (entry.test_id, errors)
+        assert isomorphic(reparsed, golden), (entry.test_id, xml)
+        checked += 1
+    assert checked >= 50
