@@ -139,9 +139,16 @@ def encode_triples(
             "salt", F.explode(F.array(*[F.lit(i) for i in range(salt_factor)])))
         out = fact
         for pos, key_col in (("s_id", "_sk"), ("p_id", "_pk"), ("o_id", "_ok")):
+            # The salt must vary WITHIN a hot key or it spreads nothing:
+            # derive it from the whole row's term keys (deterministic per
+            # row — no rand(), so task retries stay idempotent), not from
+            # the join key alone. (A key-derived salt maps every row of
+            # the hot key to one shard — the exact skew it exists to fix;
+            # caught by test_salted_join_spreads_hot_key.)
             probe = out.withColumn(
                 "salt",
-                F.pmod(F.xxhash64(F.col(key_col), F.lit(pos)),
+                F.pmod(F.xxhash64(F.col("_sk"), F.col("_pk"), F.col("_ok"),
+                                  F.lit(pos)),
                        F.lit(salt_factor)).cast("int"))
             out = (probe.join(
                 d_salted.withColumnRenamed("term_id", pos),

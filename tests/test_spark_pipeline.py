@@ -194,3 +194,38 @@ def test_in_udf_dedup_vs_shuffle_dedup_semantics(spark):
     local = triples_channel(extract(docs, dedup=True))
     assert local.count() == 2          # 1 per copy (in-doc dup collapsed)
     assert dedup_document(local).count() == 1  # row-duplicates collapsed
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """D2 skew evidence: with a 90%-hot object term (the rdf:type shape of
+    web-scale linking), the salted join must spread the hot key's probe
+    rows across ~salt_factor shuffle partitions, where the plain shuffle
+    join serializes them into one."""
+    n = 20_000
+    hot = spark.range(n).selectExpr(
+        "concat('http://s/', id) AS s", "'iri' AS s_kind",
+        "'http://p/p' AS p",
+        "CASE WHEN id % 10 = 0 THEN concat('http://o/', id) "
+        "ELSE 'http://hot/one' END AS o",
+        "'iri' AS o_kind", "CAST(NULL AS STRING) AS o_lang",
+        "CAST(NULL AS STRING) AS o_dt")
+    d = build_term_dictionary(hot)
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def hot_partitions(enc):
+            return (enc.filter("o = 'http://hot/one'")
+                    .select(F.spark_partition_id().alias("pid"))
+                    .distinct().count())
+        plain = encode_triples(hot, d, broadcast_threshold=None)
+        salted = encode_triples(hot, d, broadcast_threshold=None,
+                                salt_factor=8)
+        assert hot_partitions(plain) == 1       # one reducer owns the key
+        assert hot_partitions(salted) >= 4      # spread over salt shards
+        # and the salted result is still value-complete
+        assert salted.filter("o_id IS NULL").count() == 0
+        assert salted.count() == n
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
