@@ -324,9 +324,13 @@ def _bnode_label(bid: str) -> str:
     return "b" + re.sub(r"[^A-Za-z0-9_]", "x", bid)
 
 
-def write_rdfxml(triples, group_cols=("doc_sha",), attributes: str = "none"):
+def write_rdfxml(triples, group_cols=("doc_sha",), attributes: str = "none",
+                 *, base_uri: str | None = None, max_depth: int = 10,
+                 lang: str | None = None, stylesheet: str | None = None):
     """Spark stage: grouped-map serialization — one RDF/XML document per
-    group (applyInPandas; per-document data-parallel, SURVEY.md §2.3)."""
+    group (applyInPandas; per-document data-parallel, SURVEY.md §2.3).
+    Keyword options mirror the reference writer's surface (writer.rb:
+    max_depth :153, base/lang :152-179, stylesheet :215-228)."""
     import pandas as pd
 
     group_cols = list(group_cols)
@@ -334,7 +338,9 @@ def write_rdfxml(triples, group_cols=("doc_sha",), attributes: str = "none"):
 
     def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
         rows = pdf.to_dict("records")
-        xml = serialize_graph(rows, attributes=attributes)
+        xml = serialize_graph(rows, attributes=attributes,
+                              base_uri=base_uri, max_depth=max_depth,
+                              lang=lang, stylesheet=stylesheet)
         return pd.DataFrame([list(key) + [xml]],
                             columns=group_cols + ["xml"])
 
