@@ -112,12 +112,28 @@ def minhash_bands(docs: DataFrame, *, n_hashes: int = 64, n_bands: int = 8,
         schema="doc_id long, band_id int, band_hash string")
 
 
-def minhash_candidates(docs: DataFrame, **kw) -> DataFrame:
+def minhash_candidates(docs: DataFrame, *, max_bucket: int | None = None,
+                       **kw) -> DataFrame:
     """LSH candidate pairs (a < b): equi-join on (band_id, band_hash).
-    At scale this is the only shuffle, on small fixed-width rows; hot
-    buckets (boilerplate documents) are exact-duplicate clusters that the
-    exact-dedup stage removes first."""
+    At scale this is the only shuffle, on small fixed-width rows.
+
+    ``max_bucket``: optional guard against mega-buckets — a band shared by
+    ``m`` documents yields m²/2 pairs, and mass-duplicated boilerplate
+    (the classic web-corpus pathology) would quadratically blow up the
+    join even though those clusters are exact duplicates that
+    ``dedup_exact`` should collapse first. Buckets above the cap are
+    excluded (standard LSH practice); the excluded clusters are exactly
+    the ones a cheaper equality pass already catches. ``None`` = no cap
+    (corpus already exact-deduped)."""
     bands = minhash_bands(docs, **kw)
+    if max_bucket is not None:
+        sizes = (bands.groupBy("band_id", "band_hash")
+                 .count().filter(F.col("count") <= max_bucket)
+                 .drop("count"))
+        # NB: a list-form join puts the join keys first in the output —
+        # re-select by name so downstream renames can't mislabel columns
+        bands = (bands.join(sizes, ["band_id", "band_hash"], "left_semi")
+                 .select("doc_id", "band_id", "band_hash"))
     left = bands.toDF("a", "band_id", "band_hash")
     right = bands.toDF("b", "band_id", "band_hash")
     return (left.join(right, ["band_id", "band_hash"]).filter("a < b")

@@ -167,3 +167,25 @@ def test_langid_trigram_deterministic_tiebreak(spark):
     r, = langid_trigram(docs).collect()
     assert r["predicted"] == "de"  # all scores 0 → lexicographically first
     assert all(r[f"{lang}_score"] == 0 for lang in ("en", "de", "fr", "es"))
+
+
+def test_minhash_max_bucket_guard(spark):
+    """Mass-duplicated boilerplate must not quadratically blow up the band
+    join when the cap is on: the mega-bucket is excluded (its members are
+    exact duplicates that dedup_exact collapses), genuine near-dup pairs
+    elsewhere survive."""
+    from rdf_rdfxml_spark.operators.sketch import minhash_candidates
+    boiler = "this exact boilerplate paragraph appears everywhere " * 3
+    near_a = ("a genuinely distinctive document about knowledge graph "
+              "construction with spark catalyst plans and arrow batches "
+              "plus salted joins and adaptive execution for the win")
+    near_b = near_a.replace("catalyst", "catalist")  # jaccard ≈ 0.95
+    rows = [(i, boiler) for i in range(20)]
+    rows += [(100, near_a), (101, near_b)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {(r["a"], r["b"])
+              for r in minhash_candidates(docs, max_bucket=5).collect()}
+    assert (100, 101) in capped                   # real near-dups survive
+    assert not any(a < 20 and b < 20 for a, b in capped)  # mega-bucket cut
+    uncapped = minhash_candidates(docs).count()
+    assert uncapped >= 190 + 1                    # 20*19/2 pairs without cap
