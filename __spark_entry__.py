@@ -231,6 +231,18 @@ def q_format_sniff(spark, sf_dir):
         F.count("*").alias("n_total"))
 
 
+def q_namespace_stats(spark, sf_dir):
+    # Distributed prefix bookkeeping (reader.rb:199,217): namespace usage
+    # stats over the corpus — every generated document declares exactly
+    # rdf + ex, which the oracle can state in closed form.
+    from rdf_rdfxml_spark.operators.extract import document_prefixes
+    docs = _docs(spark, sf_dir).selectExpr(
+        f"({D.xml_basic_expr()}) AS content")
+    return (document_prefixes(docs)
+            .groupBy("prefix", "ns")
+            .agg(F.countDistinct("doc_sha").alias("n_docs")))
+
+
 def q_dedup_global(spark, sf_dir):
     t = triples_channel(_parse(spark, sf_dir, D.xml_basic_expr()))
     doubled = t.unionByName(t)  # duplicate provenance → same logical graph
@@ -618,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfxml_w3c_suite": q_w3c_suite,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "rdfxml_format_sniff": q_format_sniff,
+        "namespace_stats": q_namespace_stats,
         "triples_dedup_global": q_dedup_global,
         "iri_dictionary": q_iri_dictionary,
         "entity_linking": q_entity_linking,
@@ -813,6 +826,12 @@ def oracle_sql() -> dict[str, str]:
     SELECT CAST(SUM(CASE WHEN regexp_matches(content, '<(\\w+:)?RDF')
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_rdf,
            CAST(COUNT(*) AS BIGINT) AS n_total FROM c""",
+
+        "namespace_stats": f"""
+    WITH n AS (SELECT CAST(COUNT(DISTINCT sha256(({D.xml_basic_expr()})))
+                      AS BIGINT) AS c FROM documents)
+    SELECT 'rdf' AS prefix, '{RDF}' AS ns, c AS n_docs FROM n
+    UNION ALL SELECT 'ex', '{VOC}', c FROM n""",
 
         "triples_dedup_global": f"""
     WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents)

@@ -61,6 +61,9 @@ def main(argv=None):
     ap.add_argument("--base-uri", default="")
     ap.add_argument("--no-strict", action="store_true",
                     help="keep triples from documents with grammar errors")
+    ap.add_argument("--canonicalize", action="store_true",
+                    help="canonicalize XSD literal lexical forms "
+                         "(reference reader option, off by default)")
     ap.add_argument("--repartition", type=int, default=None)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--resume-manifest", default=None,
@@ -88,7 +91,8 @@ def main(argv=None):
               f"units this invocation.")
     else:
         g = construct_graph(docs, strict=not args.no_strict,
-                            repartition=args.repartition)
+                            repartition=args.repartition,
+                            canonicalize=args.canonicalize)
         if args.format == "parquet":
             with_bucket(g.triples, args.buckets).write.mode("overwrite") \
                 .partitionBy("bucket").parquet(args.output)

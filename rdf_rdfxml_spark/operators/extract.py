@@ -106,7 +106,8 @@ def _col_or_none(rb: pa.RecordBatch, name: str, want: bool):
 
 
 def _make_parse_batch(has_base: bool, has_prov: bool, strict: bool,
-                      max_content_bytes: int, dedup: bool = False):
+                      max_content_bytes: int, dedup: bool = False,
+                      canonicalize: bool = False):
     def parse_batch(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # Hostile nesting headroom; RecursionError is still caught per-doc.
         sys.setrecursionlimit(50_000)
@@ -133,7 +134,8 @@ def _make_parse_batch(has_base: bool, has_prov: bool, strict: bool,
                     triples, errors = parse_rdfxml(
                         data,
                         base_uri=bases[i] if bases is not None else "",
-                        doc_key=doc_sha, strict=strict)
+                        doc_key=doc_sha, strict=strict,
+                        canonicalize=canonicalize)
                 repo = repos[i] if repos is not None else None
                 path = paths[i] if paths is not None else None
                 commit = commits[i] if commits is not None else None
@@ -160,7 +162,7 @@ def _make_parse_batch(has_base: bool, has_prov: bool, strict: bool,
 
 def extract(documents: DataFrame, *, strict: bool = True,
             max_content_bytes: int = 256 * 1024 * 1024,
-            dedup: bool = False) -> DataFrame:
+            dedup: bool = False, canonicalize: bool = False) -> DataFrame:
     """Run the RDF/XML grammar over a documents DataFrame.
 
     Input columns: ``content`` (required); ``base_uri`` (optional — default
@@ -188,7 +190,7 @@ def extract(documents: DataFrame, *, strict: bool = True,
     pruned = documents.select(*keep)
     return pruned.mapInArrow(
         _make_parse_batch(has_base, has_prov, strict, max_content_bytes,
-                          dedup),
+                          dedup, canonicalize),
         schema=EXTRACT_SCHEMA)
 
 
@@ -202,3 +204,39 @@ def errors_channel(extracted: DataFrame) -> DataFrame:
     return (extracted.filter(F.col("rec") == "error")
             .select("doc_sha", "repo", "path", "commit",
                     F.col("o").alias("error")))
+
+
+def document_prefixes(documents: DataFrame) -> DataFrame:
+    """Distributed form of the reference's ``prefix()`` bookkeeping
+    (reader.rb:199,217): one row per (document, prefix, namespace)
+    declaration seen during the parse. Feeds vocabulary/namespace stats
+    for KG pipelines (which vocabularies dominate a crawl, writer prefix
+    tables, dialect drift detection). Same mapInArrow grain as extract."""
+    import pyarrow as pa
+
+    from ..parser.grammar import parse_rdfxml as _parse
+
+    def batches(it):
+        import hashlib as _h
+        for rb in it:
+            contents = rb.column(
+                rb.schema.get_field_index("content")).to_pylist()
+            shas, prefs, nss = [], [], []
+            for content in contents:
+                data = (content.encode("utf-8")
+                        if isinstance(content, str) else content)
+                doc_sha = _h.sha256(data).hexdigest()
+                px: dict = {}
+                _parse(data, doc_key=doc_sha, strict=False, prefixes=px)
+                for prefix, ns in px.items():
+                    shas.append(doc_sha)
+                    prefs.append(prefix if prefix is not None else "")
+                    nss.append(ns)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(shas, type=pa.string()),
+                 pa.array(prefs, type=pa.string()),
+                 pa.array(nss, type=pa.string())],
+                names=["doc_sha", "prefix", "ns"])
+
+    return documents.select("content").mapInArrow(
+        batches, schema="doc_sha string, prefix string, ns string")

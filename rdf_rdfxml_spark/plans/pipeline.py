@@ -33,6 +33,7 @@ def construct_graph(
     strict: bool = True,
     repartition: int | None = None,
     dedup: bool = True,
+    canonicalize: bool = False,
 ) -> GraphResult:
     """The flagship plan: documents → triples + errors.
 
@@ -49,7 +50,8 @@ def construct_graph(
     # flagship plan has no post-parse shuffle at all; use
     # operators.dedup.dedup_document explicitly if the input table may
     # contain duplicate rows of the same document.
-    extracted = extract(documents, strict=strict, dedup=dedup)
+    extracted = extract(documents, strict=strict, dedup=dedup,
+                        canonicalize=canonicalize)
     triples = triples_channel(extracted)
     return GraphResult(extracted=extracted, triples=triples,
                        errors=errors_channel(extracted))
