@@ -25,6 +25,7 @@ from rdf_rdfxml_spark.operators.linking import (
     build_term_dictionary, encode_triples,
 )
 from rdf_rdfxml_spark.operators import ann as _ANN
+from rdf_rdfxml_spark.operators import graph as _G
 from rdf_rdfxml_spark.operators import sketch as _SK
 from rdf_rdfxml_spark.operators import textlang as _TL
 from rdf_rdfxml_spark.plans.pipeline import construct_graph
@@ -393,6 +394,18 @@ def q_minhash_lsh(spark, sf_dir):
     return minhash_candidates(docs)
 
 
+def q_dedup_components(spark, sf_dir):
+    # Near-dup *clustering*: LSH candidate pairs → connected components
+    # (hash-min label propagation; DuckDB twin is a recursive-CTE closure
+    # over the same pair set). The dedup decision is per component: keep
+    # the canonical (minimum) doc id.
+    from rdf_rdfxml_spark.operators.graph import component_stats
+    from rdf_rdfxml_spark.operators.sketch import minhash_candidates
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    return component_stats(minhash_candidates(docs))
+
+
 def q_simhash(spark, sf_dir):
     # 48-bit SimHash, document-local in mapInArrow (the round-1 plan
     # shuffled a 16×-bit-exploded token stream through two aggregations).
@@ -643,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_components": q_dedup_components,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
@@ -928,6 +942,9 @@ def oracle_sql() -> dict[str, str]:
     WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.12""",
 
         "minhash_lsh": _SK.minhash_oracle_sql(),
+
+        "dedup_components": _G.components_oracle_sql(
+            _SK.minhash_oracle_sql()),
 
         "simhash": _SK.simhash_oracle_sql(),
 

@@ -189,3 +189,24 @@ def test_minhash_max_bucket_guard(spark):
     assert not any(a < 20 and b < 20 for a, b in capped)  # mega-bucket cut
     uncapped = minhash_candidates(docs).count()
     assert uncapped >= 190 + 1                    # 20*19/2 pairs without cap
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Hash-min propagation must close a chain (worst case: diameter
+    iterations) and keep islands separate."""
+    from rdf_rdfxml_spark.operators.graph import (
+        component_stats, connected_components,
+    )
+    # chain 1-2-3-4-5-6 plus island {10,11}, plus a triangle {20,21,22}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (10, 11), (20, 21), (21, 22), (20, 22)],
+        "a long, b long")
+    cc = {r["node"]: r["component"]
+          for r in connected_components(edges).collect()}
+    assert all(cc[n] == 1 for n in (1, 2, 3, 4, 5, 6))
+    assert cc[10] == cc[11] == 10
+    assert cc[20] == cc[21] == cc[22] == 20
+    stats = {r["component"]: r["n_members"]
+             for r in component_stats(edges).collect()}
+    assert stats == {1: 6, 10: 2, 20: 3}
