@@ -612,6 +612,74 @@ def _multimodal_oracle() -> str:
             " AS t(media_id, feature, n_bytes)")
 
 
+def q_training_corpus_stats(spark, sf_dir):
+    # The end-to-end curation pipeline an LLM data job runs, as one query:
+    # exact dedup (keep min doc_id per content hash) → near-dup removal
+    # (LSH pairs → connected components → keep canonical member) →
+    # quality filter (length + lexical diversity) → language filter
+    # (trigram profiles). Output: survivor counts per stage. Every stage
+    # reuses an oracle-checked operator; the oracle composes their SQL
+    # twins over the same intermediate sets.
+    from rdf_rdfxml_spark.operators.graph import connected_components
+    from rdf_rdfxml_spark.operators.sketch import minhash_candidates
+    from rdf_rdfxml_spark.operators.textlang import langid_trigram
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    n_input = docs.count()
+    canon = (docs.groupBy(F.md5("text").alias("h"))
+             .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    k1 = docs.join(canon, "doc_id", "left_semi")
+    n_exact = k1.count()
+    cc = connected_components(minhash_candidates(k1))
+    non_canonical = (cc.filter(F.col("node") != F.col("component"))
+                     .select(F.col("node").alias("doc_id")))
+    k2 = k1.join(non_canonical, "doc_id", "left_anti")
+    n_neardup = k2.count()
+    k3 = k2.filter(
+        "size(split(text, ' ')) >= 20 AND "
+        "size(array_distinct(split(text, ' '))) / "
+        "CAST(size(split(text, ' ')) AS DOUBLE) >= 0.3")
+    n_quality = k3.count()
+    n_final = (langid_trigram(k3).filter("predicted = 'en'").count())
+    return spark.createDataFrame(
+        [(n_input, n_exact, n_neardup, n_quality, n_final)],
+        "n_input long, n_after_exact long, n_after_neardup long, "
+        "n_after_quality long, n_final long")
+
+
+def _training_corpus_oracle() -> str:
+    from rdf_rdfxml_spark.operators.sketch import minhash_oracle_sql
+    from rdf_rdfxml_spark.operators.textlang import langid_oracle_sql
+    pairs = minhash_oracle_sql(table="k1")
+    langs = langid_oracle_sql(table="k3")
+    return f"""
+    WITH RECURSIVE
+    canon AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    k1 AS (SELECT d.doc_id, d.text FROM documents d
+           JOIN canon c ON c.doc_id = d.doc_id),
+    pairs AS (SELECT * FROM ({pairs}) t),
+    sym AS (SELECT a AS src, b AS dst FROM pairs
+            UNION SELECT b, a FROM pairs),
+    reach(node, lbl) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+    noncanon AS (SELECT node FROM comp WHERE node != component),
+    k2 AS (SELECT * FROM k1
+           WHERE doc_id NOT IN (SELECT node FROM noncanon)),
+    k3 AS (SELECT * FROM k2
+           WHERE len(string_split(text, ' ')) >= 20
+             AND len(list_distinct(string_split(text, ' '))) /
+                 CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.3),
+    k4 AS (SELECT doc_id FROM ({langs}) l WHERE predicted = 'en')
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_input,
+           CAST((SELECT COUNT(*) FROM k1) AS BIGINT) AS n_after_exact,
+           CAST((SELECT COUNT(*) FROM k2) AS BIGINT) AS n_after_neardup,
+           CAST((SELECT COUNT(*) FROM k3) AS BIGINT) AS n_after_quality,
+           CAST((SELECT COUNT(*) FROM k4) AS BIGINT) AS n_final"""
+
+
 def q_events_sessionize(spark, sf_dir):
     from rdf_rdfxml_spark.streaming.sessionize import sessionize_batch
     return sessionize_batch(_events(spark, sf_dir))
@@ -669,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_trigram": q_lang_id_trigram,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_winnowing": q_doc_winnowing,
+        "training_corpus_stats": q_training_corpus_stats,
         "multimodal_features": q_multimodal_features,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
@@ -1049,6 +1118,8 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, md5(lower(text)) AS fingerprint,
            CAST(length(text) AS INTEGER) AS n_chars_actual
     FROM documents""",
+
+        "training_corpus_stats": _training_corpus_oracle(),
 
         "multimodal_features": _multimodal_oracle(),
 
