@@ -590,12 +590,13 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def _multimodal_oracle() -> str:
-    import numpy as _np  # noqa: F401  (numpy must exist for the decoders)
-    from rdf_rdfxml_spark.operators.multimodal import (
-        decode_image, meanpool_fingerprint,
-    )
     import hashlib as _h
+
     import numpy as np
+
+    from rdf_rdfxml_spark.operators.multimodal import (
+        decode_image, encode_ppm, meanpool_fingerprint,
+    )
     rows = []
     for i in range(64):
         seed = int.from_bytes(
@@ -603,7 +604,6 @@ def _multimodal_oracle() -> str:
         rng = np.random.default_rng(seed)
         w, h = 4 + (i % 13), 4 + (i % 7)
         img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-        from rdf_rdfxml_spark.operators.multimodal import encode_ppm
         payload = encode_ppm(img)
         fp = meanpool_fingerprint(decode_image(payload))
         rows.append(f"('m{i:04d}', '{fp}', {len(payload)})")

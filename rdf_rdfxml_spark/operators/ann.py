@@ -217,7 +217,7 @@ def lsh_topk_oracle_sql(*, n_planes: int = 4, k: int = 3,
     FROM r WHERE rnk <= {k}"""
 
 
-def _centroid_partials(k: int):
+def _centroid_partials():
     """mapInArrow stage: per-batch (cell_id, n, sums[dim]) partial
     aggregates — the treeAggregate shape of k-means without exploding
     n×dim rows into a shuffle."""
@@ -288,7 +288,7 @@ def kmeans_cells(emb: DataFrame, *, k: int = 8, iters: int = 2,
     for _ in range(iters):
         assign = _assign_to(emb, centroids)
         partials = (assign.select("cell_id", "v")
-                    .mapInArrow(_centroid_partials(k),
+                    .mapInArrow(_centroid_partials(),
                                 schema="cell_id int, n long, "
                                        "sums array<double>")
                     .collect())
