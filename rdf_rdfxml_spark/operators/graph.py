@@ -33,6 +33,7 @@ def connected_components(edges: DataFrame, *, max_iters: int = 25,
            .unionByName(edges.selectExpr("b AS src", "a AS dst")))
     labels = (sym.select(F.col("src").alias("node")).distinct()
               .withColumn("component", F.col("node")))
+    converged = False
     for _ in range(max_iters):
         # candidate labels from neighbors, keep the minimum
         prop = (sym.join(labels, sym["src"] == labels["node"])
@@ -51,7 +52,14 @@ def connected_components(edges: DataFrame, *, max_iters: int = 25,
                    .count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Silent partial propagation = wrong components; fail loud. A graph
+        # needing more rounds has diameter > max_iters — raise, don't guess.
+        raise ValueError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"(component diameter exceeds max_iters — raise it)")
     return labels
 
 

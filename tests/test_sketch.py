@@ -210,3 +210,11 @@ def test_connected_components_chain_and_islands(spark):
     stats = {r["component"]: r["n_members"]
              for r in component_stats(edges).collect()}
     assert stats == {1: 6, 10: 2, 20: 3}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    from rdf_rdfxml_spark.operators.graph import connected_components
+    chain = spark.createDataFrame([(i, i + 1) for i in range(6)],
+                                  "a long, b long")
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(chain, max_iters=2)
