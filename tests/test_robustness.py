@@ -46,3 +46,29 @@ def test_oversized_document_fail_soft(spark):
     assert len(errs[0]["doc_sha"]) == 64  # lineage survives the cap
     # uncapped: parses fine
     assert extract(docs).filter("rec = 'triple'").count() == 1
+
+
+_charset_bytes = st.builds(
+    lambda decl, body: decl + body,
+    st.sampled_from([
+        b"", b'<?xml version="1.0"?>',
+        b'<?xml version="1.0" encoding="ISO-8859-1"?>',
+        b'<?xml version="1.0" encoding="shift_jis"?>',
+        b'<?xml version="1.0" encoding="UTF-16"?>',
+        b'<?xml version="1.0" encoding="bogus-charset"?>',
+        b"\xef\xbb\xbf<?xml version=\"1.0\"?>",   # UTF-8 BOM
+        b"\xff\xfe", b"\xfe\xff",                 # bare UTF-16 BOMs
+    ]),
+    st.binary(max_size=300))
+
+
+@given(_charset_bytes)
+@settings(max_examples=150, deadline=None)
+def test_parser_never_raises_on_arbitrary_bytes(data):
+    """The charset fallback path (decl sniff → codec decode → retry) must
+    uphold the same never-raise contract as the text path: hostile byte
+    blobs with lying/bogus/missing encoding declarations become error rows,
+    never exceptions."""
+    triples, errors = parse_rdfxml(data, doc_key="fz", strict=True)
+    assert isinstance(triples, list) and isinstance(errors, list)
+    assert triples or errors or data.strip() == b""  # something observable
