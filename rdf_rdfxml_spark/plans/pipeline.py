@@ -16,7 +16,6 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import dedup_document
 from ..operators.extract import errors_channel, extract, triples_channel
 
 

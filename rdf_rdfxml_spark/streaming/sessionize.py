@@ -14,9 +14,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (
-    LongType, StructField, StructType, TimestampType,
-)
+from pyspark.sql.types import LongType, StructField, StructType
 
 SESSION_GAP_SECONDS = 30 * 60
 
