@@ -303,6 +303,29 @@ def q_predicate_stats(spark, sf_dir):
             .select("p", "n", "n_subjects"))
 
 
+def q_kg_degree_stats(spark, sf_dir):
+    # Graph analytics over the constructed KG: out-degree histogram —
+    # (degree, n_subjects). Reify corpus: every doc subject has degree 1,
+    # every statement-id node degree 4 (closed-form oracle).
+    t = triples_channel(_parse(spark, sf_dir, D.xml_reify_expr()))
+    deg = t.groupBy("s").agg(F.count("*").alias("out_degree"))
+    return (deg.groupBy("out_degree")
+            .agg(F.count("*").alias("n_subjects")))
+
+
+def q_kg_two_hop(spark, sf_dir):
+    # 2-hop traversal: doc --ex:meta--> bnode --ex:origin--> literal, as a
+    # self-join of the triples table on object=subject. The join keys are
+    # exactly the subject-hash bucketing of the materialized table (D4), so
+    # at scale this is a co-located, partition-prunable join.
+    t = triples_channel(_parse(spark, sf_dir, D.xml_nested_expr()))
+    hop1 = (t.filter(f"p = '{VOC}meta'")
+            .selectExpr("s AS doc", "o AS mid"))
+    hop2 = (t.filter(f"p = '{VOC}origin'")
+            .selectExpr("s AS mid", "o AS origin"))
+    return hop1.join(hop2, "mid").select("doc", "origin")
+
+
 def q_lineage_invariant(spark, sf_dir):
     # BASELINE per-row invariant: every triple's doc_sha == sha256(content)
     docs = _docs(spark, sf_dir).selectExpr(
@@ -718,6 +741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_linking_salted": q_entity_linking_salted,
         "entity_linking_hashids": q_entity_linking_hashids,
         "predicate_stats": q_predicate_stats,
+        "kg_degree_stats": q_kg_degree_stats,
+        "kg_two_hop": q_kg_two_hop,
         "lineage_invariant": q_lineage_invariant,
         "resume_pending_units": q_resume_pending_units,
         "extraction_metrics": q_extraction_metrics,
@@ -964,6 +989,14 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL SELECT '{VOC}lang', c, c FROM n
     UNION ALL SELECT '{VOC}chars', c, c FROM n
     UNION ALL SELECT '{VOC}body', c, c FROM n""",
+
+        "kg_degree_stats": """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents)
+    SELECT CAST(1 AS BIGINT) AS out_degree, c AS n_subjects FROM n
+    UNION ALL SELECT CAST(4 AS BIGINT), c FROM n""",
+
+        "kg_two_hop": _oracle_docs_cte(D.xml_nested_expr()) + """
+    SELECT subj AS doc, source AS origin FROM d""",
 
         "lineage_invariant": (
             f"WITH src AS (SELECT ({D.xml_basic_expr()}) AS content"
