@@ -72,3 +72,36 @@ def test_parser_never_raises_on_arbitrary_bytes(data):
     triples, errors = parse_rdfxml(data, doc_key="fz", strict=True)
     assert isinstance(triples, list) and isinstance(errors, list)
     assert triples or errors or data.strip() == b""  # something observable
+
+
+def test_billion_laughs_hits_amplification_limit():
+    """Exponential entity expansion must land in the error channel fast
+    and bounded (expat's built-in amplification limit), never OOM a
+    worker — the poison-document contract under adversarial input."""
+    import time
+    ents = ['<!ENTITY a "haha">'] + [
+        f'<!ENTITY {cur} "{"&%s;" % prev * 10}">'
+        for prev, cur in zip("abcdefghi", "bcdefghij")]
+    bomb = ('<?xml version="1.0"?>\n<!DOCTYPE r [\n' + "\n".join(ents)
+            + f']>\n<rdf:RDF xmlns:rdf="{RDF}" xmlns:ex="http://e/">'
+            '<rdf:Description rdf:about="http://a/"><ex:p>&j;</ex:p>'
+            '</rdf:Description></rdf:RDF>')
+    t0 = time.time()
+    triples, errors = parse_rdfxml(bomb, doc_key="bomb", strict=True)
+    assert time.time() - t0 < 10
+    assert triples == []
+    assert errors and "amplification" in errors[0]
+
+
+def test_external_entities_never_fetched():
+    """XXE: SYSTEM entities must not be resolved (no file/network reads
+    from inside the parse worker); content substitutes as empty."""
+    xxe = ('<?xml version="1.0"?>\n'
+           '<!DOCTYPE r [<!ENTITY x SYSTEM "file:///etc/passwd">]>\n'
+           f'<rdf:RDF xmlns:rdf="{RDF}" xmlns:ex="http://e/">'
+           '<rdf:Description rdf:about="http://a/"><ex:p>&x;</ex:p>'
+           '</rdf:Description></rdf:RDF>')
+    triples, errors = parse_rdfxml(xxe, doc_key="xxe", strict=True)
+    values = [o[1] for _s, _p, o in triples]
+    assert not any("root:" in v for v in values)
+    assert values in ([""], [])  # substituted empty or rejected, never read
