@@ -703,6 +703,20 @@ def _training_corpus_oracle() -> str:
            CAST((SELECT COUNT(*) FROM k4) AS BIGINT) AS n_final"""
 
 
+def q_video_frame_sample(spark, sf_dir):
+    # Frame sampling over the synthetic PPM-sequence 'video' container
+    # (compressed video needs codecs this container lacks; the container
+    # format is real and parsed, not faked): every 4th of 12 frames per
+    # video → closed-form oracle (frames 0/4/8, fixed frame byte size).
+    from rdf_rdfxml_spark.operators.multimodal import (
+        sample_frames, synth_video,
+    )
+    vids = synth_video(spark, 8, frames=12).repartition(4)
+    return (sample_frames(vids, every=4)
+            .selectExpr("media_id", "frame_index",
+                        "CAST(length(frame) AS INT) AS n_bytes"))
+
+
 def q_events_sessionize(spark, sf_dir):
     from rdf_rdfxml_spark.streaming.sessionize import sessionize_batch
     return sessionize_batch(_events(spark, sf_dir))
@@ -764,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnowing": q_doc_winnowing,
         "training_corpus_stats": q_training_corpus_stats,
         "multimodal_features": q_multimodal_features,
+        "video_frame_sample": q_video_frame_sample,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
     }
@@ -1155,6 +1170,15 @@ def oracle_sql() -> dict[str, str]:
         "training_corpus_stats": _training_corpus_oracle(),
 
         "multimodal_features": _multimodal_oracle(),
+
+        # 8 videos × frames {0,4,8}; each 8×6 PPM frame = 11-byte header
+        # ("P6\n8 6\n255\n") + 144 raster bytes
+        "video_frame_sample": """
+    SELECT 'v' || lpad(CAST(v AS VARCHAR), 4, '0') AS media_id,
+           CAST(f AS INTEGER) AS frame_index,
+           CAST(155 AS INTEGER) AS n_bytes
+    FROM generate_series(0, 7) AS gv(v),
+         (VALUES (0), (4), (8)) AS gf(f)""",
 
         "events_windowed": """
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,

@@ -200,3 +200,121 @@ def synth_media(spark, n: int = 64) -> DataFrame:
         rows.append(("m%04d" % i, "image", "image/x-portable-pixmap",
                      bytearray(encode_ppm(img)), w, h))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample to (height, width, 3) — pure numpy index
+    math, deterministic (the half-pixel-center convention)."""
+    h, w, _ = img.shape
+    ys = np.minimum(((np.arange(height) + 0.5) * h / height).astype(int),
+                    h - 1)
+    xs = np.minimum(((np.arange(width) + 0.5) * w / width).astype(int),
+                    w - 1)
+    return img[ys][:, xs]
+
+
+def resize_images(media: DataFrame, *, width: int = 8, height: int = 8,
+                  payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched image resize: decode (PPM/BMP) → nearest-neighbor
+    resample → re-encode as PPM. Per-item failures → ``error`` (same
+    isolation contract as every UDF stage)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, outs, errors = [], [], []
+            for mid, payload in zip(pdf["media_id"].values,
+                                    pdf[payload_col].values):
+                ids.append(mid)
+                try:
+                    img = decode_image(bytes(payload or b""))
+                    outs.append(encode_ppm(resize_nearest(img, width,
+                                                          height)))
+                    errors.append(None)
+                except Exception as e:  # per-item isolation
+                    outs.append(None)
+                    errors.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame({"media_id": ids, "payload": outs,
+                                "error": errors})
+
+    return media.select("media_id", payload_col).mapInPandas(
+        batches, schema="media_id string, payload binary, error string")
+
+
+def split_ppm_frames(payload: bytes) -> list:
+    """Parse a PPM-sequence container (consecutive binary PPM images —
+    the uncompressed 'video' format this environment can produce without
+    codecs) into per-frame byte slices."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        if payload[pos:pos + 2] != b"P6":
+            raise DecodeError(f"frame boundary not P6 at byte {pos}")
+        img = decode_ppm(payload[pos:])
+        h, w, _ = img.shape
+        # recompute this frame's exact byte length: header + raster
+        hdr_end = pos + 2
+        fields = 0
+        while fields < 3:
+            while payload[hdr_end:hdr_end + 1].isspace():
+                hdr_end += 1
+            if payload[hdr_end:hdr_end + 1] == b"#":
+                hdr_end = payload.index(b"\n", hdr_end) + 1
+                continue
+            while not payload[hdr_end:hdr_end + 1].isspace():
+                hdr_end += 1
+            fields += 1
+        hdr_end += 1  # single whitespace before raster
+        end = hdr_end + w * h * 3
+        frames.append(payload[pos:end])
+        pos = end
+    return frames
+
+
+def sample_frames(media: DataFrame, *, every: int = 4,
+                  payload_col: str = "payload") -> DataFrame:
+    """Video frame-sampling over PPM-sequence payloads: keep every
+    ``every``-th frame, one output row per kept frame
+    ``(media_id, frame_index, frame)``. Compressed video needs codecs this
+    container lacks — same declared seam as compressed images; the
+    sampling/explode plumbing (the Spark-side shape) is fully real."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames, errors = [], [], [], []
+            for mid, payload in zip(pdf["media_id"].values,
+                                    pdf[payload_col].values):
+                try:
+                    fs = split_ppm_frames(bytes(payload or b""))
+                    for i in range(0, len(fs), every):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(fs[i])
+                        errors.append(None)
+                except Exception as e:  # per-item isolation
+                    ids.append(mid)
+                    idxs.append(-1)
+                    frames.append(None)
+                    errors.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame({"media_id": ids, "frame_index": idxs,
+                                "frame": frames, "error": errors})
+
+    return media.select("media_id", payload_col).mapInPandas(
+        batches,
+        schema="media_id string, frame_index int, frame binary, "
+               "error string")
+
+
+def synth_video(spark, n: int = 8, frames: int = 12) -> DataFrame:
+    """Deterministic synthetic 'video' table: PPM-sequence payloads."""
+    rows = []
+    for i in range(n):
+        payload = b""
+        for f in range(frames):
+            seed = int.from_bytes(
+                hashlib.sha256(f"video:{i}:{f}".encode()).digest()[:4],
+                "big")
+            rng = np.random.default_rng(seed)
+            payload += encode_ppm(
+                rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8))
+        rows.append(("v%04d" % i, "video", "video/x-ppm-seq",
+                     bytearray(payload), 8, 6))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

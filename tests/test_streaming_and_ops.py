@@ -222,3 +222,61 @@ def test_dist_zip_importable(tmp_path):
         env={"PATH": "/usr/bin:/bin", "PYTHONPATH": ""})
     assert r.returncode == 0, r.stderr
     assert r.stdout.strip().startswith("OK")
+
+
+def test_resize_images_real(spark):
+    import numpy as np
+    from rdf_rdfxml_spark.operators.multimodal import (
+        decode_ppm, resize_images, resize_nearest,
+    )
+    media = synth_media(spark, 8)
+    rows = {r["media_id"]: r for r in
+            resize_images(media, width=4, height=4).collect()}
+    assert all(r["error"] is None for r in rows.values())
+    img = decode_ppm(bytes(rows["m0000"]["payload"]))
+    assert img.shape == (4, 4, 3)
+    # resample math is deterministic and matches the local function
+    src = decode_ppm(bytes(
+        {r["media_id"]: r for r in media.collect()}["m0000"]["payload"]))
+    assert (img == resize_nearest(src, 4, 4)).all()
+    # undecodable payload isolated
+    bad = media.withColumn(
+        "payload", F.when(F.col("media_id") == "m0001",
+                          F.lit(bytearray(b"\x89PNG")))
+        .otherwise(F.col("payload")))
+    got = {r["media_id"]: r for r in resize_images(bad).collect()}
+    assert got["m0001"]["payload"] is None
+    assert "NotImplementedError" in got["m0001"]["error"]
+
+
+def test_sample_frames_real(spark):
+    from rdf_rdfxml_spark.operators.multimodal import (
+        decode_ppm, sample_frames, split_ppm_frames, synth_video,
+    )
+    vids = synth_video(spark, 4, frames=12)
+    rows = sample_frames(vids, every=4).collect()
+    by_vid = {}
+    for r in rows:
+        assert r["error"] is None
+        by_vid.setdefault(r["media_id"], []).append(r)
+    assert set(by_vid) == {"v0000", "v0001", "v0002", "v0003"}
+    for vid, rs in by_vid.items():
+        assert sorted(r["frame_index"] for r in rs) == [0, 4, 8]
+        for r in rs:
+            img = decode_ppm(bytes(r["frame"]))
+            assert img.shape == (6, 8, 3)
+    # sampled frame bytes match a local split of the same payload
+    payload = bytes({r["media_id"]: r for r in vids.collect()}
+                    ["v0000"]["payload"])
+    local = split_ppm_frames(payload)
+    got0 = [bytes(r["frame"]) for r in sorted(
+        by_vid["v0000"], key=lambda r: r["frame_index"])]
+    assert got0 == [local[0], local[4], local[8]]
+    # corrupt container → per-item error row
+    bad = vids.withColumn(
+        "payload", F.when(F.col("media_id") == "v0001",
+                          F.lit(bytearray(b"NOTPPM")))
+        .otherwise(F.col("payload")))
+    errs = [r for r in sample_frames(bad).collect()
+            if r["media_id"] == "v0001"]
+    assert len(errs) == 1 and "DecodeError" in errs[0]["error"]
