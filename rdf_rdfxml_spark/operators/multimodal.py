@@ -318,3 +318,100 @@ def synth_video(spark, n: int = 8, frames: int = 12) -> DataFrame:
         rows.append(("v%04d" % i, "video", "video/x-ppm-seq",
                      bytearray(payload), 8, 6))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_wav(payload: bytes) -> tuple:
+    """RIFF/WAVE PCM (8/16-bit) → (samples int16 ndarray [n, channels],
+    sample_rate). Pure Python — the uncompressed audio format needs no
+    codec library (compressed audio stays the declared seam)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise DecodeError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even
+    if fmt is None or data is None:
+        raise DecodeError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16) or channels < 1:
+        raise DecodeError(
+            f"unsupported WAV (format={audio_format}, bits={bits})")
+    if bits == 16:
+        samples = np.frombuffer(data[:len(data) - len(data) % (2 * channels)],
+                                dtype="<i2")
+    else:  # 8-bit PCM is unsigned, center on 0 at int16 scale
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+                   - 128) * 256
+        samples = samples[:len(samples) - len(samples) % channels]
+    return samples.reshape(-1, channels), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """(n, channels) int16 → RIFF/WAVE PCM payload (synth/test helper)."""
+    n, channels = samples.shape
+    data = samples.astype("<i2").tobytes()
+    fmt = (b"\x01\x00" + channels.to_bytes(2, "little")
+           + rate.to_bytes(4, "little")
+           + (rate * channels * 2).to_bytes(4, "little")
+           + (channels * 2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt \
+        + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
+def audio_features(media: DataFrame, *,
+                   payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched audio feature extraction over WAV payloads:
+    (duration_ms, rms level, channels, sample_rate). Per-item errors
+    isolated like every decode stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("media_id", "duration_ms", "rms",
+                                   "channels", "sample_rate", "error")}
+            for mid, payload in zip(pdf["media_id"].values,
+                                    pdf[payload_col].values):
+                out["media_id"].append(mid)
+                try:
+                    samples, rate = decode_wav(bytes(payload or b""))
+                    out["duration_ms"].append(
+                        int(samples.shape[0] * 1000 // rate))
+                    out["rms"].append(round(float(np.sqrt(
+                        np.mean(samples.astype(np.float64) ** 2))), 4))
+                    out["channels"].append(int(samples.shape[1]))
+                    out["sample_rate"].append(int(rate))
+                    out["error"].append(None)
+                except Exception as e:  # per-item isolation
+                    for k in ("duration_ms", "rms", "channels",
+                              "sample_rate"):
+                        out[k].append(None)
+                    out["error"].append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", payload_col).mapInPandas(
+        batches,
+        schema="media_id string, duration_ms long, rms double, "
+               "channels int, sample_rate int, error string")
+
+
+def synth_audio(spark, n: int = 8, rate: int = 8000,
+                ms: int = 50) -> DataFrame:
+    """Deterministic synthetic WAV table (sine tones, no external data)."""
+    rows = []
+    for i in range(n):
+        t = np.arange(int(rate * ms / 1000)) / rate
+        freq = 220.0 * (i + 1)
+        wave = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+        payload = encode_wav(wave.reshape(-1, 1), rate)
+        rows.append(("a%04d" % i, "audio", "audio/wav",
+                     bytearray(payload), None, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -280,3 +280,34 @@ def test_sample_frames_real(spark):
     errs = [r for r in sample_frames(bad).collect()
             if r["media_id"] == "v0001"]
     assert len(errs) == 1 and "DecodeError" in errs[0]["error"]
+
+
+def test_audio_features_real_wav(spark):
+    import numpy as np
+    from rdf_rdfxml_spark.operators.multimodal import (
+        audio_features, decode_wav, encode_wav, synth_audio,
+    )
+    # local round-trip first
+    samples = (np.sin(np.arange(800) / 10) * 10000).astype(np.int16)
+    payload = encode_wav(samples.reshape(-1, 2), 16000)
+    dec, rate = decode_wav(payload)
+    assert rate == 16000 and dec.shape == (400, 2)
+    assert (dec.reshape(-1) == samples).all()
+    # Spark stage over the synthetic corpus
+    rows = {r["media_id"]: r
+            for r in audio_features(synth_audio(spark, 6)).collect()}
+    assert len(rows) == 6
+    assert all(r["error"] is None for r in rows.values())
+    assert all(r["duration_ms"] == 50 and r["sample_rate"] == 8000
+               and r["channels"] == 1 for r in rows.values())
+    # a sine at 12000 amplitude has rms ≈ 12000/sqrt(2) ≈ 8485
+    assert 8000 < rows["a0000"]["rms"] < 9000
+    # non-WAV payload isolated
+    from pyspark.sql import functions as F
+    bad = synth_audio(spark, 2).withColumn(
+        "payload", F.when(F.col("media_id") == "a0001",
+                          F.lit(bytearray(b"ID3mp3data")))
+        .otherwise(F.col("payload")))
+    got = {r["media_id"]: r for r in audio_features(bad).collect()}
+    assert "DecodeError" in got["a0001"]["error"]
+    assert got["a0000"]["error"] is None
