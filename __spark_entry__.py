@@ -438,6 +438,17 @@ def q_simhash(spark, sf_dir):
     return simhash(docs)
 
 
+def q_simhash_candidates(spark, sf_dir):
+    # Hamming-LSH over SimHash (Manku-style bit banding): pairs within
+    # Hamming distance n_bands-1 are guaranteed (pigeonhole) to share a
+    # band — exact recall at that radius, not probabilistic. Verification
+    # is the cheap `hamming` post-filter included in the output.
+    from rdf_rdfxml_spark.operators.sketch import simhash_candidates
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    return simhash_candidates(docs).filter("hamming <= 6")
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _embeddings(spark, sf_dir)
     q = emb.filter("vec_id < 10").selectExpr(
@@ -765,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "dedup_components": q_dedup_components,
         "simhash": q_simhash,
+        "simhash_candidates": q_simhash_candidates,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
@@ -1064,6 +1076,10 @@ def oracle_sql() -> dict[str, str]:
             _SK.minhash_oracle_sql()),
 
         "simhash": _SK.simhash_oracle_sql(),
+
+        "simhash_candidates": (
+            "SELECT * FROM (" + _SK.simhash_candidates_oracle_sql()
+            + ") WHERE hamming <= 6"),
 
         "ann_cosine_topk": """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

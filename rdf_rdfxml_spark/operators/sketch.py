@@ -310,3 +310,55 @@ def winnow_oracle_sql(*, k: int = 8, window: int = 4,
       FROM g)
     SELECT DISTINCT doc_id, fp FROM w
     WHERE pos >= {window} AND n >= {window}"""
+
+
+def simhash_candidates(docs: DataFrame, *, bits: int = SIMHASH_BITS,
+                       n_bands: int = 4) -> DataFrame:
+    """Hamming-LSH over SimHash (the Manku/Google near-dup scheme): split
+    the ``bits``-bit hash into ``n_bands`` contiguous bit-bands and join on
+    (band_id, band_value). Pigeonhole guarantee: any pair within Hamming
+    distance ``n_bands - 1`` differs in at most n_bands-1 bands, so at
+    least one band is identical — recall is *exact* (1.0) at that radius,
+    not probabilistic. Same scale shape as minhash: per-document hashes in
+    mapInArrow, fixed n_bands small rows per document into the equi-join;
+    verification (true Hamming distance) is a cheap post-filter.
+
+    Output: candidate pairs ``(a, b, hamming)`` with a < b, distinct,
+    hamming computed exactly for the verification step.
+    """
+    assert bits % n_bands == 0
+    width = bits // n_bands
+    sig = simhash(docs, bits=bits)
+    bands = sig.selectExpr(
+        "doc_id",
+        f"explode(transform(sequence(0, {n_bands - 1}), b -> "
+        f"named_struct('band_id', b, 'band_value', "
+        f"shiftright(simhash, b * {width}) % {2 ** width}))) AS x",
+        "simhash").selectExpr("doc_id", "x.band_id", "x.band_value",
+                              "simhash")
+    left = bands.selectExpr("doc_id AS a", "band_id", "band_value",
+                            "simhash AS ha")
+    right = bands.selectExpr("doc_id AS b", "band_id", "band_value",
+                             "simhash AS hb")
+    return (left.join(right, ["band_id", "band_value"]).filter("a < b")
+            .selectExpr("a", "b", "bit_count(ha ^ hb) AS hamming")
+            .distinct())
+
+
+def simhash_candidates_oracle_sql(*, bits: int = SIMHASH_BITS,
+                                  n_bands: int = 4,
+                                  table: str = "documents") -> str:
+    width = bits // n_bands
+    return f"""
+    WITH sig AS ({simhash_oracle_sql(bits=bits, table=table)}),
+    bands AS (
+      SELECT doc_id, CAST(b AS INTEGER) AS band_id,
+             (simhash >> CAST(b * {width} AS INTEGER)) % {2 ** width}
+               AS band_value,
+             simhash
+      FROM sig, generate_series(0, {n_bands - 1}) AS g(b))
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+           CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.band_value = r.band_value
+         AND l.doc_id < r.doc_id"""

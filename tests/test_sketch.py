@@ -218,3 +218,22 @@ def test_connected_components_raises_on_nonconvergence(spark):
                                   "a long, b long")
     with pytest.raises(ValueError, match="did not converge"):
         connected_components(chain, max_iters=2)
+
+
+def test_simhash_candidates_pigeonhole_guarantee(spark):
+    """Hamming-LSH exactness: every pair within Hamming distance
+    n_bands-1 MUST appear as a candidate (pigeonhole over bit bands) —
+    verified against the exhaustive pair set of the test corpus."""
+    from rdf_rdfxml_spark.operators.sketch import simhash, simhash_candidates
+    docs = _docs_df(spark).select("doc_id", "text")
+    sims = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ids = sorted(sims)
+    within3 = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+               if bin(sims[a] ^ sims[b]).count("1") <= 3}
+    cands = {(r["a"], r["b"]): r["hamming"]
+             for r in simhash_candidates(docs).collect()}
+    missing = within3 - set(cands)
+    assert not missing, f"pigeonhole guarantee violated: {missing}"
+    # hamming column is the true distance
+    for (a, b), h in list(cands.items())[:50]:
+        assert h == bin(sims[a] ^ sims[b]).count("1")
