@@ -440,13 +440,15 @@ def q_simhash(spark, sf_dir):
 
 def q_simhash_candidates(spark, sf_dir):
     # Hamming-LSH over SimHash (Manku-style bit banding): pairs within
-    # Hamming distance n_bands-1 are guaranteed (pigeonhole) to share a
-    # band — exact recall at that radius, not probabilistic. Verification
-    # is the cheap `hamming` post-filter included in the output.
+    # Hamming distance n_bands-1 = 3 are guaranteed (pigeonhole) to share
+    # a band — so the <=3 post-filter yields the COMPLETE pair set at that
+    # radius, exact recall, not probabilistic. (Pairs beyond the radius are
+    # only found best-effort; filtering wider than n_bands-1 would
+    # misrepresent the output as complete — round-2 ADVICE.)
     from rdf_rdfxml_spark.operators.sketch import simhash_candidates
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
-    return simhash_candidates(docs).filter("hamming <= 6")
+    return simhash_candidates(docs).filter("hamming <= 3")
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -1055,11 +1057,13 @@ def oracle_sql() -> dict[str, str]:
            MIN(doc_id) AS canonical_doc_id
     FROM documents GROUP BY md5(text)""",
 
-        "dedup_ngram_jaccard": """
-    WITH sh AS (
+        "dedup_ngram_jaccard": f"""
+    WITH {_SK.length_guard_cte("documents")},
+    sh AS (
       SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 5) AS sh
-      FROM documents, generate_series(1, 100000) AS g(i)
-      WHERE doc_id < 100 AND i <= len(text) - 4),
+      FROM documents, _lenguard,
+           generate_series(1, {_SK.ORACLE_SHINGLE_BOUND}) AS g(i)
+      WHERE _lenguard.ok = 1 AND doc_id < 100 AND i <= len(text) - 4),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
       SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS i
@@ -1079,7 +1083,7 @@ def oracle_sql() -> dict[str, str]:
 
         "simhash_candidates": (
             "SELECT * FROM (" + _SK.simhash_candidates_oracle_sql()
-            + ") WHERE hamming <= 6"),
+            + ") WHERE hamming <= 3"),
 
         "ann_cosine_topk": """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

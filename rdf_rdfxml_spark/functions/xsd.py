@@ -28,8 +28,11 @@ def _canon_integer(v: str) -> str:
 
 
 def _canon_decimal(v: str) -> str:
-    m = _DEC_RE.match(v.strip())
-    if not m or (not m.group(2) and not m.group(3)):
+    s = v.strip()
+    m = _DEC_RE.match(s)
+    # Valid iff at least one digit appears anywhere ('0', '00', '0.00' are
+    # valid all-zero forms and canonicalize to '0.0'; '', '+', '.' are not).
+    if not m or not any(c.isdigit() for c in s):
         return v
     sign, whole, frac = m.groups()
     whole = (whole or "").lstrip("0") or "0"
@@ -46,6 +49,14 @@ def _canon_double(v: str) -> str:
     if not _DBL_RE.match(s):
         return v
     f = float(s)
+    # Overflowing-but-valid lexical forms (e.g. "1E999") round to ±inf;
+    # RDF.rb's Literal::Double canonicalizes those to the special lexicals.
+    if f == float("inf"):
+        return "INF"
+    if f == float("-inf"):
+        return "-INF"
+    if f != f:  # NaN (unreachable from _DBL_RE forms; defensive)
+        return "NaN"
     if f == 0.0:
         return "-0.0E0" if s.lstrip().startswith("-") else "0.0E0"
     # canonical xsd:double: single nonzero digit before the point
@@ -75,4 +86,12 @@ def canonicalize_literal(value: str, datatype: str | None) -> str:
     """Canonical lexical form for the supported XSD datatypes; identity
     for unknown datatypes or invalid lexical forms."""
     fn = _CANON.get(datatype or "")
-    return fn(value) if fn else value
+    if not fn:
+        return value
+    # Per-document isolation invariant: nothing UDF-side may raise. Any
+    # canonicalizer bug degrades to the original lexical form instead of
+    # killing the Spark task on every retry.
+    try:
+        return fn(value)
+    except Exception:
+        return value

@@ -103,10 +103,12 @@ def encode_triples(
     if broadcast_threshold is not None:
         probe_n = dict_count
         if probe_n is None:
-            # persist so the probe count and the subsequent joins share one
-            # computation of the distinct-terms aggregate
-            dict_slim = dict_slim.persist()
-            probe_n = dict_slim.limit(broadcast_threshold + 1).count()
+            # Count the *dictionary* (dict_slim is a pure projection of it,
+            # so the cardinalities are identical) — no persist, so nothing
+            # leaks into executor storage for the session lifetime. Callers
+            # that reuse the dictionary across calls should persist it
+            # themselves or pass ``dict_count``.
+            probe_n = dictionary.limit(broadcast_threshold + 1).count()
         if probe_n > broadcast_threshold:
             # documented fall-through: too big to broadcast → salted join
             broadcast_threshold = None

@@ -49,6 +49,25 @@ MINHASH_P = 4294967311  # prime > 2^32
 
 SIMHASH_BITS = 48
 
+# The DuckDB oracles explode shingle positions with a constant
+# generate_series bound (DuckDB rejects both lateral column args and scalar
+# subqueries there). The Spark operators are unbounded, so a document longer
+# than this bound would silently diverge the correctness gate — instead the
+# oracle SQL carries an error() guard CTE that makes the gate fail LOUDLY if
+# the corpus ever exceeds the bound.
+ORACLE_SHINGLE_BOUND = 100_000
+
+
+def length_guard_cte(table: str = "documents",
+                     bound: int = ORACLE_SHINGLE_BOUND) -> str:
+    """A 1-row CTE that raises inside DuckDB when any ``text`` exceeds the
+    oracle's constant shingle-position bound. Cross-join it into the
+    series-consuming CTE and filter on ``_lenguard.ok = 1`` so it is always
+    evaluated (declared-loud coverage limit, per round-2 ADVICE)."""
+    return (f"_lenguard AS (SELECT CASE WHEN MAX(len(text)) > {bound} THEN "
+            f"error('oracle shingle bound {bound} exceeded in {table}') "
+            f"ELSE 1 END AS ok FROM {table})")
+
 
 def minhash_params(n_hashes: int) -> tuple[list[int], list[int]]:
     """Deterministic affine-family constants (A_k odd < 2^30, B_k < P),
@@ -157,11 +176,12 @@ def minhash_oracle_sql(*, n_hashes: int = 64, n_bands: int = 8,
             f"CAST(h{k} AS VARCHAR)" for k in range(b * r, (b + 1) * r)))
         for b in range(n_bands))
     return f"""
-    WITH sh AS (
+    WITH {length_guard_cte(table)},
+    sh AS (
       SELECT DISTINCT doc_id,
              substring(text, CAST(i AS INTEGER), {shingle}) AS sh
-      FROM {table}, generate_series(1, 100000) AS g(i)
-      WHERE i <= len(text) - {shingle - 1}),
+      FROM {table}, _lenguard, generate_series(1, {ORACLE_SHINGLE_BOUND}) AS g(i)
+      WHERE _lenguard.ok = 1 AND i <= len(text) - {shingle - 1}),
     x AS (
       SELECT doc_id,
              CAST(('0x' || substring(md5(sh), 1, 8))::VARCHAR::UBIGINT
@@ -294,13 +314,14 @@ def winnow_oracle_sql(*, k: int = 8, window: int = 4,
     """DuckDB twin: same k-gram md5-prefix hash, window MIN over position
     order, DISTINCT — evaluated relationally at oracle scale."""
     return f"""
-    WITH g AS (
+    WITH {length_guard_cte(table)},
+    g AS (
       SELECT doc_id, CAST(i AS INTEGER) AS pos,
              CAST(('0x' || substring(
                  md5(substring(text, CAST(i AS INTEGER), {k})), 1, 8))
                  ::VARCHAR::UBIGINT AS BIGINT) AS h
-      FROM {table}, generate_series(1, 100000) AS s(i)
-      WHERE i <= len(text) - {k - 1}),
+      FROM {table}, _lenguard, generate_series(1, {ORACLE_SHINGLE_BOUND}) AS s(i)
+      WHERE _lenguard.ok = 1 AND i <= len(text) - {k - 1}),
     w AS (
       SELECT doc_id, pos,
              MIN(h) OVER (PARTITION BY doc_id ORDER BY pos

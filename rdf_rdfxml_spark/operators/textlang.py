@@ -27,6 +27,8 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame
 
+from .sketch import ORACLE_SHINGLE_BOUND, length_guard_cte
+
 # top-frequency character trigrams per language (space-padded tokens)
 PROFILES: dict[str, list[str]] = {
     "en": ["the", " th", "he ", "ing", "ng ", "and", " an", "nd ", "ion",
@@ -95,11 +97,13 @@ def langid_oracle_sql(table: str = "documents") -> str:
         f"COALESCE(MAX(CASE WHEN lang = '{lang}' THEN s END), 0)"
         f" AS {lang}_score" for lang in LANGS)
     return f"""
-    WITH tg AS (
+    WITH {length_guard_cte(table)},
+    tg AS (
       SELECT DISTINCT doc_id,
              substring(lower(text), CAST(i AS INTEGER), 3) AS tg
-      FROM {table}, generate_series(1, 100000) AS g(i)
-      WHERE i <= len(text) - 2),
+      FROM {table}, _lenguard,
+           generate_series(1, {ORACLE_SHINGLE_BOUND}) AS g(i)
+      WHERE _lenguard.ok = 1 AND i <= len(text) - 2),
     prof(lang, tg) AS (VALUES
       {profile_rows}),
     hits AS (
