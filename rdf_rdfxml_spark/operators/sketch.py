@@ -159,6 +159,112 @@ def minhash_candidates(docs: DataFrame, *, max_bucket: int | None = None,
             .select("a", "b").distinct())
 
 
+def _shingle_sets_fn(shingle: int):
+    md5 = hashlib.md5
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            doc_ids = rb.column(rb.schema.get_field_index("doc_id")).to_pylist()
+            texts = rb.column(rb.schema.get_field_index("text")).to_pylist()
+            out_doc, out_set = [], []
+            for d, t in zip(doc_ids, texts):
+                if t is None or len(t) < shingle:
+                    continue  # zero shingles → no row (matches minhash_bands)
+                hs = {int.from_bytes(md5(t[i:i + shingle].encode("utf-8"))
+                                     .digest()[:4], "big")
+                      for i in range(len(t) - shingle + 1)}
+                out_doc.append(d)
+                out_set.append(sorted(hs))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_doc, type=pa.int64()),
+                 pa.array(out_set, type=pa.list_(pa.int64()))],
+                names=["doc_id", "shingles"])
+
+    return fn
+
+
+def shingle_sets(docs: DataFrame, *, shingle: int = 5) -> DataFrame:
+    """(doc_id, text) → (doc_id, shingles array<long>): the document's
+    distinct shingle set under the same 32-bit md5-prefix hash the minhash
+    family consumes — document-local (mapInArrow, zero shuffle), sorted for
+    determinism. One row per doc; fixed-width-ish output (set size, not
+    text length × n_hashes)."""
+    pruned = docs.select("doc_id", "text")
+    return pruned.mapInArrow(_shingle_sets_fn(shingle),
+                             schema="doc_id long, shingles array<long>")
+
+
+def verify_candidates(docs: DataFrame, pairs: DataFrame, *,
+                      shingle: int = 5,
+                      threshold: float = 0.7) -> DataFrame:
+    """Exact-jaccard verification of LSH candidate pairs — the composed
+    minhash→verify stage (round-2 verdict next-round #3; replaces the
+    standalone quadratic ``dedup_ngram_jaccard`` with its doc_id cap).
+
+    Jaccard is computed over the hashed shingle space (the same 32-bit
+    md5-prefix values the minhash signatures estimate — so verification
+    measures exactly what LSH approximates). Scale shape: shingle sets are
+    built ONLY for documents appearing in a candidate pair (semi-join
+    first), so the array join shuffles O(candidates), never O(corpus);
+    the intersection is JVM-side ``array_intersect`` on sorted arrays.
+
+    Input ``pairs``: (a, b) candidate ids. Output ``(a, b, jacc_r)`` for
+    pairs with exact jaccard ≥ ``threshold``.
+    """
+    cand_ids = (pairs.selectExpr("a AS doc_id")
+                .unionByName(pairs.selectExpr("b AS doc_id")).distinct())
+    cand_docs = docs.join(cand_ids, "doc_id", "left_semi")
+    sets = shingle_sets(cand_docs, shingle=shingle)
+    return (pairs
+            .join(sets.selectExpr("doc_id AS a", "shingles AS sa"), "a")
+            .join(sets.selectExpr("doc_id AS b", "shingles AS sb"), "b")
+            .selectExpr(
+                "a", "b",
+                "size(array_intersect(sa, sb)) AS i",
+                "size(sa) AS za", "size(sb) AS zb")
+            .selectExpr(
+                "a", "b",
+                "i / CAST(za + zb - i AS DOUBLE) AS jacc")
+            .filter(f"jacc >= {threshold}")
+            .selectExpr("a", "b", "round(jacc, 4) AS jacc_r"))
+
+
+def verified_pairs_oracle_sql(*, n_hashes: int = 64, n_bands: int = 8,
+                              shingle: int = 5, threshold: float = 0.7,
+                              table: str = "documents") -> str:
+    """DuckDB twin of minhash_candidates → verify_candidates end-to-end:
+    the LSH pair CTE is :func:`minhash_oracle_sql` verbatim, then exact
+    jaccard over the same md5-prefix shingle hashes for candidate docs."""
+    pairs = minhash_oracle_sql(n_hashes=n_hashes, n_bands=n_bands,
+                               shingle=shingle, table=table)
+    return f"""
+    WITH pairs AS (SELECT * FROM ({pairs}) t),
+    cand AS (SELECT a AS doc_id FROM pairs
+             UNION SELECT b AS doc_id FROM pairs),
+    {length_guard_cte(table)},
+    sh AS (
+      SELECT DISTINCT d.doc_id,
+             CAST(('0x' || substring(
+                 md5(substring(d.text, CAST(i AS INTEGER), {shingle})), 1, 8))
+                 ::VARCHAR::UBIGINT AS BIGINT) AS x
+      FROM {table} d JOIN cand USING (doc_id), _lenguard,
+           generate_series(1, {ORACLE_SHINGLE_BOUND}) AS g(i)
+      WHERE _lenguard.ok = 1 AND i <= len(d.text) - {shingle - 1}),
+    sz AS (SELECT doc_id, COUNT(*) AS z FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.a, p.b, COUNT(*) AS i
+      FROM pairs p
+      JOIN sh l ON l.doc_id = p.a
+      JOIN sh r ON r.doc_id = p.b AND r.x = l.x
+      GROUP BY p.a, p.b)
+    SELECT t.a, t.b, ROUND(t.jacc, 4) AS jacc_r FROM (
+      SELECT n.a, n.b,
+             n.i / CAST(za.z + zb.z - n.i AS DOUBLE) AS jacc
+      FROM inter n JOIN sz za ON za.doc_id = n.a
+                   JOIN sz zb ON zb.doc_id = n.b) t
+    WHERE t.jacc >= {threshold}"""
+
+
 def minhash_oracle_sql(*, n_hashes: int = 64, n_bands: int = 8,
                        shingle: int = 5,
                        table: str = "documents") -> str:

@@ -91,3 +91,17 @@ def test_kmeans_improves_quantization_and_is_deterministic(spark):
     assert c2 == c2b
     # every vector assigned exactly once
     assert a2.count() == emb.count()
+
+
+def test_trained_dedup_matches_brute_force(spark, vectors):
+    # kmeans-trained centroids wired into the IVF dedup path must keep
+    # recall/precision 1.0 vs brute force (same contract as the
+    # lowest-vec_id-centroid variant).
+    from rdf_rdfxml_spark.operators.ann import kmeans_cells
+    ids, v = vectors
+    truth = _brute_force_pairs(ids, v)
+    emb = load_embeddings(spark, SF_DIR)
+    _, centroids = kmeans_cells(emb, k=8, iters=2)
+    got = {(r["a"], r["b"]) for r in
+           dedup_embedding_bucketed(emb, centroids=centroids).collect()}
+    assert got == truth

@@ -237,3 +237,60 @@ def test_simhash_candidates_pigeonhole_guarantee(spark):
     # hamming column is the true distance
     for (a, b), h in list(cands.items())[:50]:
         assert h == bin(sims[a] ^ sims[b]).count("1")
+
+
+def _hashed_jaccard_truth(threshold: float = 0.7):
+    """Exact jaccard over the 32-bit md5-prefix shingle-hash space — the
+    space verify_candidates measures (and minhash estimates)."""
+    docs = _docs_pylist()
+    hs = {}
+    for d, t in docs:
+        if t is None or len(t) < 5:
+            continue
+        hs[d] = {int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+                 for s in _shingles(t)}
+    ids = sorted(hs)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(hs[a] & hs[b])
+            if inter:
+                j = inter / (len(hs[a]) + len(hs[b]) - inter)
+                if j >= threshold:
+                    out[(a, b)] = j  # unrounded (Spark rounds HALF_UP,
+                    # Python banker's — compare with half-ulp tolerance)
+    return out
+
+
+def test_verify_candidates_values_and_recall(spark):
+    from rdf_rdfxml_spark.operators.sketch import verify_candidates
+    truth = _hashed_jaccard_truth(0.7)
+    assert truth  # corpus sanity: verified near-dups exist
+    docs = _docs_df(spark).select("doc_id", "text")
+    pairs = minhash_candidates(docs)
+    cand = {(r["a"], r["b"]) for r in pairs.collect()}
+    got = {(r["a"], r["b"]): r["jacc_r"]
+           for r in verify_candidates(docs, pairs).collect()}
+    # every verified pair is a candidate with the exact hashed-jaccard value
+    for (a, b), j in got.items():
+        assert (a, b) in cand
+        raw = truth.get((a, b))
+        assert raw is not None and abs(j - raw) <= 5.1e-5, \
+            f"pair ({a},{b}): {j} != truth {raw}"
+    # every candidate pair that truly clears the threshold is kept
+    assert set(got) == {p for p in truth if p in cand}
+
+
+def test_shingle_sets_sorted_distinct_and_guarded(spark):
+    from rdf_rdfxml_spark.operators.sketch import shingle_sets
+    df = spark.createDataFrame(
+        [(1, "abcdefabcdef"), (2, "abcd"), (3, None)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["shingles"]
+            for r in shingle_sets(df).collect()}
+    assert set(rows) == {1}  # short + null texts produce no row
+    s = rows[1]
+    assert s == sorted(set(s))  # sorted, distinct
+    want = {int.from_bytes(hashlib.md5(x.encode()).digest()[:4], "big")
+            for x in _shingles("abcdefabcdef")}
+    assert set(s) == want
