@@ -71,3 +71,50 @@ def load_manifest(root: str = None) -> list[W3CEntry]:
     if not entries:
         raise ValueError(f"no manifest entries found under {root}")
     return entries
+
+
+def run_conformance(entries: list[W3CEntry] | None = None,
+                    root: str = None) -> list[tuple[str, str, str]]:
+    """Run every manifest entry and return ``(test_id, kind, outcome)``
+    rows, outcome ∈ {'passed', 'failed'} — the per-test record the
+    reference's ``script/tc`` runner produces (tc:60-110: eval entries
+    pass on golden isomorphism, negative entries pass on rejection)."""
+    from ..functions.nt import isomorphic, parse_nt
+    from ..parser.grammar import parse_rdfxml
+    out = []
+    for e in (entries if entries is not None else load_manifest(root)):
+        triples, errors = parse_rdfxml(e.read_action(root),
+                                       base_uri=e.base,
+                                       doc_key=e.test_id, strict=True)
+        if e.kind == "eval":
+            ok = (not errors
+                  and isomorphic(triples, parse_nt(e.read_result(root))))
+        else:
+            ok = bool(errors)
+        out.append((e.test_id, e.kind, "passed" if ok else "failed"))
+    return out
+
+
+EARL_SUBJECT = "urn:example:rdf-rdfxml-spark"
+EARL_ASSERTOR = "urn:example:rdf-rdfxml-spark#harness"
+
+
+def earl_assertions(results: list[tuple[str, str, str]]) -> str:
+    """EARL Turtle assertions, one per test — parity with ``script/tc``'s
+    ``--earl`` output (tc:94-105), minus the ``dc:date`` stamp (the
+    pipeline's determinism invariant forbids wall-clock reads; the git
+    history carries the run provenance instead)."""
+    head = (
+        "@prefix earl: <http://www.w3.org/ns/earl#> .\n"
+        "@prefix rdft: <http://www.w3.org/ns/rdftest#> .\n\n")
+    blocks = [
+        f"[ a earl:Assertion;\n"
+        f"  earl:assertedBy <{EARL_ASSERTOR}>;\n"
+        f"  earl:subject <{EARL_SUBJECT}>;\n"
+        f"  earl:test <{TEST_BASE}#{test_id}>;\n"
+        f"  earl:result [\n"
+        f"    a earl:TestResult;\n"
+        f"    earl:outcome earl:{outcome}];\n"
+        f"  earl:mode earl:automatic ] .\n"
+        for test_id, _kind, outcome in results]
+    return head + "\n".join(blocks)

@@ -105,10 +105,14 @@ def _term(row):
     return (row["o_kind"], row["o"])
 
 
+RDFS_CLASS = "http://www.w3.org/2000/01/rdf-schema#Class"
+
+
 def serialize_graph(rows, base_uri: str | None = None,
                     max_depth: int = 10, lang: str | None = None,
                     attributes: str = "none",
-                    stylesheet: str | None = None) -> str:
+                    stylesheet: str | None = None,
+                    top_classes: list[str] | None = None) -> str:
     """Serialize triple rows (dicts with s, s_kind, p, o, o_kind, o_lang,
     o_dt) to one RDF/XML document string.
 
@@ -116,6 +120,11 @@ def serialize_graph(rows, base_uri: str | None = None,
     'untyped' folds single-valued plain no-lang literals into XML property
     attributes; 'typed' additionally folds typed literals (lossy on the
     datatype — the reference's semantics, writer.rb:500-525).
+
+    ``top_classes``: rdf:types whose instances are emitted right after the
+    base subject, before everything else (reference ``order_subjects``,
+    writer.rb:452-472; option default ``[RDF::RDFS.Class]``,
+    writer.rb:124-133). Instances of each class are sorted by term.
     """
     subjects: dict[tuple, list] = {}
     ref_count: dict[tuple, int] = {}
@@ -282,15 +291,32 @@ def serialize_graph(rows, base_uri: str | None = None,
         out.append(f'{"  " * indent}</{elt}>')
         return "\n".join(out)
 
-    # order_subjects (writer.rb:452-482): base first, then
-    # (is_bnode, ref_count, subject)
-    def order_key(skey):
-        is_base = 0 if (base_uri and skey == ("iri", base_uri)) else 1
-        return (is_base, 1 if skey[0] == "bnode" else 0,
-                ref_count.get(skey, 0), skey[1])
+    # order_subjects (writer.rb:452-482): base first, then instances of
+    # each top_classes entry (sorted by term, per class, in option order),
+    # then the rest by (is_bnode, ref_count, subject).
+    tcs = [RDFS_CLASS] if top_classes is None else list(top_classes)
+    seen: set = set()
+    ordered: list = []
+    base_key = ("iri", base_uri) if base_uri else None
+    if base_key and base_key in subjects:
+        ordered.append(base_key)
+        seen.add(base_key)
+    for cls in tcs:
+        typed = sorted(
+            (sk for sk, rs in subjects.items()
+             if sk not in seen
+             and any(r["p"] == RDF_TYPE and r["o_kind"] == "iri"
+                     and r["o"] == cls for r in rs)),
+            key=lambda sk: (1 if sk[0] == "bnode" else 0, sk[1]))
+        ordered.extend(typed)
+        seen.update(typed)
+    ordered.extend(sorted(
+        (sk for sk in subjects if sk not in seen),
+        key=lambda sk: (1 if sk[0] == "bnode" else 0,
+                        ref_count.get(sk, 0), sk[1])))
 
     body = []
-    for skey in sorted(subjects, key=order_key):
+    for skey in ordered:
         if skey in serialized:
             continue
         # top-level: skip bnodes that will be nested under their referrer
@@ -298,7 +324,7 @@ def serialize_graph(rows, base_uri: str | None = None,
             continue
         body.append(render_subject(skey, 0, 1))
     # second pass: anything left (cycles among referenced-once bnodes)
-    for skey in sorted(subjects, key=order_key):
+    for skey in ordered:
         if skey not in serialized:
             body.append(render_subject(skey, 0, 1))
 

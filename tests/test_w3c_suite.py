@@ -115,3 +115,19 @@ def test_w3c_writer_roundtrip_attribute_modes(attributes):
         assert isomorphic(reparsed, golden), (entry.test_id, xml)
         checked += 1
     assert checked >= 50
+
+
+def test_earl_report_fresh_and_all_passed():
+    """The checked-in EARL.md (per-test conformance artifact, parity with
+    script/tc --earl) must match a fresh deterministic regeneration and
+    record zero failures."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from earl_report import build_report
+    fresh = build_report()
+    path = os.path.join(os.path.dirname(__file__), "..", "EARL.md")
+    with open(path, encoding="utf-8") as f:
+        checked_in = f.read()
+    assert fresh == checked_in, "EARL.md is stale — rerun tools/earl_report.py"
+    assert "**FAILED**" not in fresh

@@ -155,3 +155,34 @@ def test_known_vocab_prefixes_preferred():
     reparsed, errors = parse_rdfxml(xml, base_uri="", doc_key="kv")
     assert not errors
     assert isomorphic(reparsed, triples)
+
+
+def test_top_classes_subject_ordering():
+    """order_subjects puts top_classes instances right after the base
+    subject (writer.rb:452-472, default [rdfs:Class], writer.rb:124-133):
+    a class definition outranks an alphabetically-earlier plain subject."""
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    RDFS_CLASS = "http://www.w3.org/2000/01/rdf-schema#Class"
+    triples = [
+        (("iri", "http://a/aaa-first-alpha"), "http://v/p",
+         ("literal", "x", None, None)),
+        (("iri", "http://a/zzz-class"), RDF_TYPE, ("iri", RDFS_CLASS)),
+        (("iri", "http://a/zzz-class"), "http://v/p",
+         ("literal", "c", None, None)),
+    ]
+    xml = serialize_graph(_rows(triples))
+    assert xml.index("zzz-class") < xml.index("aaa-first-alpha")
+    # custom top_classes: instances of the given class come first instead
+    xml2 = serialize_graph(_rows(triples), top_classes=["http://v/T"])
+    assert xml2.index("aaa-first-alpha") < xml2.index("zzz-class")
+    triples2 = triples + [
+        (("iri", "http://a/mmm-widget"), RDF_TYPE, ("iri", "http://v/T")),
+        (("iri", "http://a/mmm-widget"), "http://v/p",
+         ("literal", "w", None, None)),
+    ]
+    xml3 = serialize_graph(_rows(triples2), top_classes=["http://v/T"])
+    assert (xml3.index("mmm-widget") < xml3.index("aaa-first-alpha")
+            < xml3.index("zzz-class"))
+    # round trips unaffected
+    reparsed, errors = parse_rdfxml(xml3, base_uri="", doc_key="tc")
+    assert not errors and isomorphic(reparsed, triples2)
