@@ -170,7 +170,8 @@ def main():
     headline = ["rdfxml_extract_basic", "rdfxml_reification",
                 "rdfxml_error_channel", "triples_dedup_global",
                 "entity_linking", "entity_linking_salted", "dedup_exact",
-                "minhash_lsh", "simhash", "ann_cosine_topk",
+                "minhash_lsh", "dedup_verified_pairs", "simhash",
+                "ann_cosine_topk", "ann_lsh_bucketed",
                 "dedup_embedding_bucketed", "text_quality",
                 "events_windowed"]
     qmap = E.queries()

@@ -16,9 +16,14 @@ The round-1 verdict's scale-killer was ``a.crossJoin(b)`` all-pairs cosine
 
 Measured on the test corpora (tests/test_ann.py): 8 cells / 4-probe
 reproduces the brute-force ≥0.4-cosine pair set exactly (recall 1.0 at
-sf0.001 and sf0.01). At 100 TB the knobs move (``n_cells ≈ √N`` trained
-centroids, ``nprobe`` 4-16) but the plan shape is unchanged; the
-brute-force queries stay in the suite as oracle baselines only.
+sf0.001 and sf0.01). At 100 TB the knobs move but the plan shape is
+unchanged; the brute-force queries stay in the suite as oracle baselines
+only. Cell sizing is REGIME-SPECIFIC (measured at 10×, BASELINE.md round-3
+section): within-cell all-pairs dedup costs Σ|cell|² ≈ nprobe²·N²/k, so
+``dedup_embedding_bucketed`` wants **k ∝ N** (constant expected cell
+size — measured linear, 8.2× time for 10× data) while query-time top-k
+search (``ann_ivf_topk``, cost queries×nprobe×|cell|) wants the classic
+**k ≈ √N** (that heuristic applied to dedup measured N^1.5, 33.7×).
 
 Expression-level note: dot products use ``aggregate(zip_with(...))`` —
 JVM-side, whole-stage-codegen'd, no Python in the loop.

