@@ -28,6 +28,7 @@ from rdf_rdfxml_spark.operators.linking import (
 from rdf_rdfxml_spark.operators import ann as _ANN
 from rdf_rdfxml_spark.operators import graph as _G
 from rdf_rdfxml_spark.operators import sketch as _SK
+from rdf_rdfxml_spark.operators import curation as _CUR
 from rdf_rdfxml_spark.operators import textlang as _TL
 from rdf_rdfxml_spark.plans.pipeline import construct_graph
 from rdf_rdfxml_spark.sources import documents as D
@@ -612,6 +613,24 @@ def q_ann_ivf_trained(spark, sf_dir):
     return ann_ivf_trained_stats(load_embeddings(spark, sf_dir))
 
 
+def q_pii_scrub(spark, sf_dir):
+    # PII redaction stage (emails / phone numbers / IPv4): JVM regex,
+    # zero shuffle. The synthetic docs carry no PII, so a deterministic
+    # PII-bearing text is derived per doc (same expression in the
+    # oracle); counts + scrubbed-text md5 make the gate value-exact.
+    from rdf_rdfxml_spark.operators.curation import pii_scrub, pii_texts
+    spark_expr, _ = pii_texts()
+    return pii_scrub(_docs(spark, sf_dir), text_expr=spark_expr)
+
+
+def q_repetition_stats(spark, sf_dir):
+    # Gopher-style repetition/quality signals (dup-word / dup-2gram /
+    # top-word fractions, mean word length, composite keep flag) — pure
+    # column expressions, zero shuffle.
+    from rdf_rdfxml_spark.operators.curation import repetition_stats
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def q_text_quality(spark, sf_dir):
     return _docs(spark, sf_dir).selectExpr(
         "doc_id",
@@ -684,24 +703,24 @@ def q_multimodal_features(spark, sf_dir):
             .select("media_id", "feature", "n_bytes"))
 
 
+def _pii_scrub_oracle() -> str:
+    _, duck_expr = _CUR.pii_texts()
+    return _CUR.pii_scrub_oracle_sql(text_expr=duck_expr)
+
+
 def _multimodal_oracle() -> str:
-    import hashlib as _h
-
-    import numpy as np
-
+    # Same payloads as synth_media (shared synth_media_item helper — the
+    # two can't drift), decoded sequentially at SQL-generation time; the
+    # distributed query must reproduce these constants through the real
+    # PPM/PNG decoders inside the Arrow-batched UDF.
     from rdf_rdfxml_spark.operators.multimodal import (
-        decode_image, encode_ppm, meanpool_fingerprint,
+        decode_image, meanpool_fingerprint, synth_media_item,
     )
     rows = []
     for i in range(64):
-        seed = int.from_bytes(
-            _h.sha256(f"media:{i}".encode()).digest()[:4], "big")
-        rng = np.random.default_rng(seed)
-        w, h = 4 + (i % 13), 4 + (i % 7)
-        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-        payload = encode_ppm(img)
+        media_id, _mime, payload, _w, _h = synth_media_item(i)
         fp = meanpool_fingerprint(decode_image(payload))
-        rows.append(f"('m{i:04d}', '{fp}', {len(payload)})")
+        rows.append(f"('{media_id}', '{fp}', {len(payload)})")
     values = ",\n      ".join(rows)
     return (f"SELECT * FROM (VALUES\n      {values})"
             " AS t(media_id, feature, n_bytes)")
@@ -862,6 +881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_trained": q_dedup_embedding_trained,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained": q_ann_ivf_trained,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
         "text_quality": q_text_quality,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
@@ -1231,6 +1252,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_bucketed": _ANN.dedup_bucketed_oracle_sql(),
 
         "dedup_embedding_trained": _ANN.dedup_trained_oracle_sql(),
+
+        "pii_scrub": _pii_scrub_oracle(),
+
+        "repetition_stats": _CUR.repetition_oracle_sql(),
 
         "text_quality": """
     SELECT doc_id,

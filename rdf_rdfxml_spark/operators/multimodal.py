@@ -21,6 +21,7 @@ XML grammar stage).
 from __future__ import annotations
 
 import hashlib
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -118,24 +119,134 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 → PNG payload (8-bit RGB, filter 0 rows, one IDAT).
+    Pure stdlib (zlib/crc32) — test/synth helper and writer seam."""
+    h, w, _ = img.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (len(data).to_bytes(4, "big") + typ + data
+                + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))  # depth 8, RGB, deflate, adaptive, none
+    raw = b"".join(b"\x00" + img[y].astype(np.uint8).tobytes()
+                   for y in range(h))
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → HxWx3 uint8. Real decoder, pure stdlib zlib: 8-bit depth,
+    color types 0 (gray) / 2 (RGB) / 6 (RGBA, alpha dropped),
+    non-interlaced, all five scanline filters (None/Sub/Up/Average/Paeth),
+    chunk CRCs verified. Closes the round-2 'compressed formats' seam for
+    PNG — only JPEG (needs a DCT codec) remains environment-limited."""
+    if payload[:8] != PNG_SIG:
+        raise DecodeError("not a PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        crc = payload[pos + 8 + ln:pos + 12 + ln]
+        if len(data) != ln or len(crc) != 4:
+            raise DecodeError("truncated PNG chunk")
+        if int.from_bytes(crc, "big") != (zlib.crc32(typ + data) & 0xFFFFFFFF):
+            raise DecodeError(f"PNG chunk CRC mismatch ({typ!r})")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) != 13:
+        raise DecodeError("missing/bad IHDR")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ct, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or ct not in (0, 2, 6) or comp or filt or interlace:
+        raise DecodeError(
+            f"unsupported PNG (depth={depth}, color={ct}, "
+            f"interlace={interlace})")
+    if w <= 0 or h <= 0 or not idat:
+        raise DecodeError("bad PNG geometry or no IDAT")
+    ch = {0: 1, 2: 3, 6: 4}[ct]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise DecodeError(f"PNG IDAT inflate failed: {e}") from None
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        raise DecodeError(f"PNG raster size {len(raw)} != {(stride + 1) * h}")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        cur = np.frombuffer(raw, np.uint8, stride,
+                            y * (stride + 1) + 1).astype(np.int32)
+        if f == 0:
+            pass
+        elif f == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif f == 1:  # Sub (serial in x)
+            for x in range(ch, stride):
+                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (cur[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                c = int(prev[x - ch]) if x >= ch else 0
+                cur[x] = (cur[x] + _paeth(a, int(prev[x]), c)) & 0xFF
+        else:
+            raise DecodeError(f"bad PNG filter byte {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    img = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(img, 3, axis=2)
+    if ch == 4:
+        return img[:, :, :3].copy()
+    return img
+
+
 def decode_image(payload: bytes, *, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
-    Real decoders: PPM (P6) and 24-bit BMP, dispatched on magic bytes.
-    Compressed formats need a codec library absent from this container —
-    a declared seam: they raise ``NotImplementedError`` unless ``fake=True``
-    selects the deterministic pseudo-pixel decoder (stable pixels seeded by
-    the payload sha256) so downstream plumbing is testable with any bytes.
+    Real decoders: PPM (P6), 24-bit BMP, and PNG (8-bit gray/RGB/RGBA,
+    all five scanline filters, stdlib zlib), dispatched on magic bytes.
+    JPEG needs a DCT codec library absent from this container — the one
+    remaining declared seam: it raises ``NotImplementedError`` unless
+    ``fake=True`` selects the deterministic pseudo-pixel decoder (stable
+    pixels seeded by the payload sha256) so downstream plumbing is
+    testable with any bytes.
     """
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
     if not fake:
         raise NotImplementedError(
             "no codec for this image format in this environment "
-            "(PPM/BMP decode natively; JPEG/PNG need an image library); "
-            "pass fake=True for the deterministic test decoder")
+            "(PPM/BMP/PNG decode natively; JPEG needs a DCT codec "
+            "library); pass fake=True for the deterministic test decoder")
     seed = int.from_bytes(hashlib.sha256(payload).digest()[:4], "big")
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
@@ -187,18 +298,29 @@ def extract_features(media: DataFrame, *, fake_decode: bool = False,
     return pruned.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def synth_media_item(i: int) -> tuple:
+    """Deterministic synthetic media item i: (media_id, mime, payload,
+    w, h). Formats alternate PPM / PNG so the real compressed-format
+    decode path is exercised end-to-end; shared by :func:`synth_media`
+    and the driver oracle builder so the two can never drift."""
+    seed = int.from_bytes(
+        hashlib.sha256(f"media:{i}".encode()).digest()[:4], "big")
+    rng = np.random.default_rng(seed)
+    w, h = 4 + (i % 13), 4 + (i % 7)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    if i % 2:
+        return ("m%04d" % i, "image/png", encode_png(img), w, h)
+    return ("m%04d" % i, "image/x-portable-pixmap", encode_ppm(img), w, h)
+
+
 def synth_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table: real encoded PPM payloads
-    (sha-seeded pseudo-pixels, varying geometry) — no external data."""
+    """Deterministic synthetic media table: real encoded PPM and PNG
+    payloads (sha-seeded pseudo-pixels, varying geometry) — no external
+    data."""
     rows = []
     for i in range(n):
-        seed = int.from_bytes(
-            hashlib.sha256(f"media:{i}".encode()).digest()[:4], "big")
-        rng = np.random.default_rng(seed)
-        w, h = 4 + (i % 13), 4 + (i % 7)
-        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-        rows.append(("m%04d" % i, "image", "image/x-portable-pixmap",
-                     bytearray(encode_ppm(img)), w, h))
+        media_id, mime, payload, w, h = synth_media_item(i)
+        rows.append((media_id, "image", mime, bytearray(payload), w, h))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

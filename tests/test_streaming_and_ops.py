@@ -311,3 +311,130 @@ def test_audio_features_real_wav(spark):
     got = {r["media_id"]: r for r in audio_features(bad).collect()}
     assert "DecodeError" in got["a0001"]["error"]
     assert got["a0000"]["error"] is None
+
+
+def test_decode_png_roundtrip_and_filters():
+    """Real PNG decoder (stdlib zlib): encoder round trip, then every
+    scanline filter type decoded against a hand-filtered payload built
+    from the spec formulas (independent forward direction)."""
+    import zlib
+
+    import numpy as np
+
+    from rdf_rdfxml_spark.operators.multimodal import (
+        PNG_SIG, DecodeError, decode_image, decode_png, encode_png,
+    )
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(img)) == img).all()
+    assert (decode_image(encode_png(img)) == img).all()  # dispatch
+
+    # hand-build a PNG whose rows use filters 0..4 (spec §6 forward
+    # transforms), expect the decoder to reconstruct the original
+    def chunk(t, d):
+        return (len(d).to_bytes(4, "big") + t + d
+                + (zlib.crc32(t + d) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    h, w, ch = 5, 6, 3
+    px = rng.integers(0, 256, size=(h, w * ch), dtype=np.uint8).astype(int)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = b""
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        row = px[y]
+        prev = px[y - 1] if y else np.zeros(w * ch, dtype=int)
+        filt = np.empty(w * ch, dtype=int)
+        for x in range(w * ch):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                filt[x] = row[x]
+            elif f == 1:
+                filt[x] = (row[x] - a) % 256
+            elif f == 2:
+                filt[x] = (row[x] - b) % 256
+            elif f == 3:
+                filt[x] = (row[x] - ((a + b) >> 1)) % 256
+            else:
+                filt[x] = (row[x] - paeth(a, b, c)) % 256
+        raw += bytes([f]) + bytes(filt.astype(np.uint8))
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))
+    payload = (PNG_SIG + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert (decode_png(payload) == px.reshape(h, w, ch)).all()
+
+    # grayscale (ct=0) broadcasts to 3 channels; RGBA (ct=6) drops alpha
+    gray = rng.integers(0, 256, size=(4, 5), dtype=np.uint8)
+    graw = b"".join(b"\x00" + bytes(gray[y]) for y in range(4))
+    gihdr = ((5).to_bytes(4, "big") + (4).to_bytes(4, "big")
+             + bytes([8, 0, 0, 0, 0]))
+    gp = (PNG_SIG + chunk(b"IHDR", gihdr)
+          + chunk(b"IDAT", zlib.compress(graw)) + chunk(b"IEND", b""))
+    got = decode_png(gp)
+    assert got.shape == (4, 5, 3) and (got[:, :, 0] == gray).all() \
+        and (got[:, :, 1] == gray).all()
+    rgba = rng.integers(0, 256, size=(3, 4, 4), dtype=np.uint8)
+    araw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(3))
+    aihdr = ((4).to_bytes(4, "big") + (3).to_bytes(4, "big")
+             + bytes([8, 6, 0, 0, 0]))
+    ap = (PNG_SIG + chunk(b"IHDR", aihdr)
+          + chunk(b"IDAT", zlib.compress(araw)) + chunk(b"IEND", b""))
+    assert (decode_png(ap) == rgba[:, :, :3]).all()
+
+    # hostile payloads fail loud-but-typed (per-item isolation upstream)
+    import pytest as _pt
+    good = encode_png(img)
+    _pt.raises(DecodeError, decode_png, b"\x89PNGnope")
+    _pt.raises(DecodeError, decode_png, good[:20])          # truncated
+    bad_crc = bytearray(good)
+    bad_crc[-5] ^= 0xFF  # corrupt IEND CRC
+    _pt.raises(DecodeError, decode_png, bytes(bad_crc))
+    deflate_junk = (PNG_SIG + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", b"not-deflate")
+                    + chunk(b"IEND", b""))
+    _pt.raises(DecodeError, decode_png, deflate_junk)
+
+
+def test_pii_scrub_semantics(spark):
+    from rdf_rdfxml_spark.operators.curation import pii_scrub
+    df = spark.createDataFrame(
+        [(1, "mail me at alice.smith+x@sub.example.co.uk or "
+             "bob@ex.org, call 555-123-4567, host 192.168.0.12"),
+         (2, "no pii here"),
+         (3, "not-an-ip 999.999 and half-phone 555-1234")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_phones"], rows[1]["n_ips"]) \
+        == (2, 1, 1)
+    assert (rows[2]["n_emails"], rows[2]["n_phones"], rows[2]["n_ips"]) \
+        == (0, 0, 0)
+    assert rows[3]["n_phones"] == 0 and rows[3]["n_ips"] == 0
+    # scrubbed text really lost the PII (md5 of the fully-redacted string)
+    import hashlib
+    want = hashlib.md5(
+        b"mail me at [EMAIL] or [EMAIL], call [PHONE], host [IP]"
+    ).hexdigest()
+    assert rows[1]["scrubbed_md5"] == want
+
+
+def test_repetition_stats_semantics(spark):
+    from rdf_rdfxml_spark.operators.curation import repetition_stats
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"),            # max repetition
+         (2, "all words here are distinct ok"),  # none
+         (3, "solo")],                           # 1 word: no 2grams
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["dup_word_frac"] == 0.75
+    assert rows[1]["dup_2gram_frac"] == round(1 - 1 / 3, 4)
+    assert rows[1]["top_word_frac"] == 1.0
+    assert rows[1]["keep"] is False
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[2]["top_word_frac"] == round(1 / 6, 4)
+    assert rows[3]["n_words"] == 1 and rows[3]["dup_2gram_frac"] == 0.0
