@@ -613,6 +613,47 @@ def q_ann_ivf_trained(spark, sf_dir):
     return ann_ivf_trained_stats(load_embeddings(spark, sf_dir))
 
 
+def q_stream_neardup(spark, sf_dir):
+    # Streaming near-dup candidate generation end-to-end: MinHash bands
+    # in-stream (mapInArrow with the ingest timestamp passed through) →
+    # applyInPandasWithState keyed by band bucket → parquet sink under
+    # availableNow. Single-batch semantics equal the SQL rule "every doc
+    # except the bucket minimum by (ts, doc_id), paired with the
+    # minimum", which the DuckDB oracle computes relationally.
+    import shutil
+    from rdf_rdfxml_spark.streaming.stream import stream_neardup_flags
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "dist", "stream_neardup")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "text",
+        "timestamp_seconds(1700000000 + doc_id) AS ingested_at")
+    docs.repartition(4).write.parquet(in_dir)
+    stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+    q = (stream_neardup_flags(stream)
+         .writeStream.option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start(out_dir, format="parquet", outputMode="append"))
+    q.awaitTermination()
+    return (spark.read.parquet(out_dir)
+            .selectExpr("doc_id", "CAST(band_id AS INT) AS band_id",
+                        "dup_of"))
+
+
+def q_containment_pairs(spark, sf_dir):
+    # Containment search (winnowing fingerprint intersection): catches
+    # doc-inside-doc duplication that jaccard misses. Shuffles only
+    # (doc_id, fp) longs + fixed-width pair rows; boilerplate
+    # fingerprints capped (mega-bucket control, declared bound).
+    from rdf_rdfxml_spark.operators.sketch import containment_pairs
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    return containment_pairs(docs)
+
+
 def q_pii_scrub(spark, sf_dir):
     # PII redaction stage (emails / phone numbers / IPv4): JVM regex,
     # zero shuffle. The synthetic docs carry no PII, so a deterministic
@@ -881,6 +922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_trained": q_dedup_embedding_trained,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained": q_ann_ivf_trained,
+        "stream_neardup": q_stream_neardup,
+        "containment_pairs": q_containment_pairs,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "text_quality": q_text_quality,
@@ -1252,6 +1295,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_bucketed": _ANN.dedup_bucketed_oracle_sql(),
 
         "dedup_embedding_trained": _ANN.dedup_trained_oracle_sql(),
+
+        "stream_neardup": _SK.stream_neardup_oracle_sql(),
+
+        "containment_pairs": _SK.containment_oracle_sql(),
 
         "pii_scrub": _pii_scrub_oracle(),
 

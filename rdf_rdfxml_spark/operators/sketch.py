@@ -78,7 +78,8 @@ def minhash_params(n_hashes: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
-def _minhash_fn(n_hashes: int, n_bands: int, shingle: int):
+def _minhash_fn(n_hashes: int, n_bands: int, shingle: int,
+                passthrough: str | None = None):
     A, B = minhash_params(n_hashes)
     A = np.asarray(A, dtype=np.int64)[:, None]
     B = np.asarray(B, dtype=np.int64)[:, None]
@@ -89,8 +90,8 @@ def _minhash_fn(n_hashes: int, n_bands: int, shingle: int):
         for rb in batches:
             doc_ids = rb.column(rb.schema.get_field_index("doc_id")).to_pylist()
             texts = rb.column(rb.schema.get_field_index("text")).to_pylist()
-            out_doc, out_band, out_hash = [], [], []
-            for d, t in zip(doc_ids, texts):
+            out_doc, out_band, out_hash, out_idx = [], [], [], []
+            for row_i, (d, t) in enumerate(zip(doc_ids, texts)):
                 if t is None or len(t) < shingle:
                     continue  # zero shingles → no signature (oracle parity)
                 shingles = {t[i:i + shingle]
@@ -110,25 +111,41 @@ def _minhash_fn(n_hashes: int, n_bands: int, shingle: int):
                     out_doc.append(d)
                     out_band.append(band)
                     out_hash.append(md5(key.encode()).hexdigest())
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(out_doc, type=pa.int64()),
-                 pa.array(out_band, type=pa.int32()),
-                 pa.array(out_hash, type=pa.string())],
-                names=["doc_id", "band_id", "band_hash"])
+                    out_idx.append(row_i)
+            cols = [pa.array(out_doc, type=pa.int64()),
+                    pa.array(out_band, type=pa.int32()),
+                    pa.array(out_hash, type=pa.string())]
+            names = ["doc_id", "band_id", "band_hash"]
+            if passthrough is not None:
+                # replicate the source column row-per-band via take() —
+                # type-preserving (timestamps etc.), no python conversion
+                src = rb.column(rb.schema.get_field_index(passthrough))
+                cols.append(src.take(pa.array(out_idx, type=pa.int32())))
+                names.append(passthrough)
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
     return fn
 
 
 def minhash_bands(docs: DataFrame, *, n_hashes: int = 64, n_bands: int = 8,
-                  shingle: int = 5) -> DataFrame:
+                  shingle: int = 5,
+                  passthrough: str | None = None,
+                  passthrough_type: str = "timestamp") -> DataFrame:
     """(doc_id, text) → (doc_id, band_id, band_hash): document-local
     signature computation, no shuffle; shuffle volume downstream is
-    ``n_bands`` rows/doc regardless of document size."""
+    ``n_bands`` rows/doc regardless of document size.
+
+    ``passthrough``: optionally carry one extra column (e.g. the ingest
+    timestamp for the streaming near-dup path) through the Arrow stage,
+    replicated per band row, type-preserving."""
     assert n_hashes % n_bands == 0
-    pruned = docs.select("doc_id", "text")
-    return pruned.mapInArrow(
-        _minhash_fn(n_hashes, n_bands, shingle),
-        schema="doc_id long, band_id int, band_hash string")
+    cols = ["doc_id", "text"] + ([passthrough] if passthrough else [])
+    schema = "doc_id long, band_id int, band_hash string"
+    if passthrough:
+        schema += f", {passthrough} {passthrough_type}"
+    return docs.select(*cols).mapInArrow(
+        _minhash_fn(n_hashes, n_bands, shingle, passthrough),
+        schema=schema)
 
 
 def minhash_candidates(docs: DataFrame, *, max_bucket: int | None = None,
@@ -303,6 +320,31 @@ def minhash_oracle_sql(*, n_hashes: int = 64, n_bands: int = 8,
     FROM bands l JOIN bands r
       ON l.band_id = r.band_id AND l.band_hash = r.band_hash
          AND l.doc_id < r.doc_id"""
+
+
+def stream_neardup_oracle_sql(*, n_hashes: int = 64, n_bands: int = 8,
+                              shingle: int = 5,
+                              table: str = "documents") -> str:
+    """DuckDB twin of the availableNow single-batch semantics of
+    ``streaming.stream.stream_neardup_flags``: per (band_id, band_hash)
+    bucket, every document except the bucket minimum, paired with that
+    minimum (ingest ts is a monotone function of doc_id in the driver
+    query, so min-by-(ts, doc_id) = min(doc_id))."""
+    pairs = minhash_oracle_sql(n_hashes=n_hashes, n_bands=n_bands,
+                               shingle=shingle, table=table)
+    # reuse the sig/bands CTE chain: strip the trailing pair-select
+    bands_query = pairs[:pairs.rindex("SELECT DISTINCT")] + """
+    SELECT doc_id, band_id, band_hash FROM bands"""
+    return f"""
+    WITH b AS ({bands_query}),
+    firsts AS (
+      SELECT band_id, band_hash, MIN(doc_id) AS first_doc
+      FROM b GROUP BY band_id, band_hash)
+    SELECT b.doc_id, CAST(b.band_id AS INTEGER) AS band_id,
+           f.first_doc AS dup_of
+    FROM b JOIN firsts f
+      ON f.band_id = b.band_id AND f.band_hash = b.band_hash
+    WHERE b.doc_id != f.first_doc"""
 
 
 def _simhash_fn(bits: int):
@@ -489,3 +531,75 @@ def simhash_candidates_oracle_sql(*, bits: int = SIMHASH_BITS,
     FROM bands l JOIN bands r
       ON l.band_id = r.band_id AND l.band_value = r.band_value
          AND l.doc_id < r.doc_id"""
+
+
+def containment_pairs(docs: DataFrame, *, k: int = 8, window: int = 4,
+                      threshold: float = 0.5,
+                      max_fp_bucket: int | None = 200) -> DataFrame:
+    """Document containment search over winnowing fingerprints — the
+    classic winnowing application (Schleimer et al. §4: shared-substring
+    coverage): for candidate pairs sharing fingerprints, estimate
+    containment(a ⊆ b) = |F(a) ∩ F(b)| / |F(a)| and symmetrically for b.
+    Catches doc-inside-doc duplication that jaccard-style near-dup
+    misses (a small doc embedded in a big one has low jaccard but high
+    containment).
+
+    Output ``(a, b, n_shared, containment_a_r, containment_b_r)`` for
+    pairs where EITHER direction ≥ ``threshold``.
+
+    Scale shape: fingerprints are document-local (mapInArrow); the only
+    shuffles move (doc_id, fp) longs for the equi-join and fixed-width
+    pair rows for the count. ``max_fp_bucket`` drops fingerprints shared
+    by more than that many documents (boilerplate k-grams would
+    contribute m²/2 pairs each — same mega-bucket control as minhash
+    LSH; ``None`` disables, the cap is a declared coverage bound).
+    """
+    fps = winnow_fingerprints(docs, k=k, window=window)
+    if max_fp_bucket is not None:
+        ok = (fps.groupBy("fp").count()
+              .filter(F.col("count") <= max_fp_bucket).select("fp"))
+        fps = fps.join(ok, "fp", "left_semi").select("doc_id", "fp")
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("nf"))
+    left = fps.toDF("a", "fp")
+    right = fps.toDF("b", "fp")
+    inter = (left.join(right, "fp").filter("a < b")
+             .groupBy("a", "b").agg(F.count("*").alias("n_shared")))
+    return (inter
+            .join(sizes.toDF("a", "na"), "a")
+            .join(sizes.toDF("b", "nb"), "b")
+            .selectExpr(
+                "a", "b", "CAST(n_shared AS BIGINT) AS n_shared",
+                "round(n_shared / CAST(na AS DOUBLE), 4) AS containment_a_r",
+                "round(n_shared / CAST(nb AS DOUBLE), 4) AS containment_b_r")
+            .filter(f"containment_a_r >= {threshold} "
+                    f"OR containment_b_r >= {threshold}"))
+
+
+def containment_oracle_sql(*, k: int = 8, window: int = 4,
+                           threshold: float = 0.5,
+                           max_fp_bucket: int | None = 200,
+                           table: str = "documents") -> str:
+    """DuckDB twin of :func:`containment_pairs`: the winnowing CTE from
+    :func:`winnow_oracle_sql` verbatim, then the same bucket cap, sizes,
+    pair-intersection counts, and two-sided threshold."""
+    base = winnow_oracle_sql(k=k, window=window, table=table)
+    cap = (f",\n    ok AS (SELECT fp FROM fps GROUP BY fp "
+           f"HAVING COUNT(*) <= {max_fp_bucket}),\n"
+           "    fpc AS (SELECT f.doc_id, f.fp FROM fps f "
+           "JOIN ok USING (fp))"
+           if max_fp_bucket is not None
+           else ",\n    fpc AS (SELECT * FROM fps)")
+    return f"""
+    WITH fps AS ({base}){cap},
+    sizes AS (SELECT doc_id, COUNT(*) AS nf FROM fpc GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_shared
+      FROM fpc l JOIN fpc r ON l.fp = r.fp AND l.doc_id < r.doc_id
+      GROUP BY l.doc_id, r.doc_id)
+    SELECT a, b, CAST(n_shared AS BIGINT) AS n_shared,
+           ROUND(n_shared / CAST(sa.nf AS DOUBLE), 4) AS containment_a_r,
+           ROUND(n_shared / CAST(sb.nf AS DOUBLE), 4) AS containment_b_r
+    FROM inter JOIN sizes sa ON sa.doc_id = a
+               JOIN sizes sb ON sb.doc_id = b
+    WHERE n_shared / CAST(sa.nf AS DOUBLE) >= {threshold}
+       OR n_shared / CAST(sb.nf AS DOUBLE) >= {threshold}"""

@@ -77,3 +77,74 @@ def stream_dedup_documents(docs_stream: DataFrame, *,
                                     F.sha2(F.col("content"), 256))
     return (hashed.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(["content_sha"]))
+
+
+def stream_neardup_flags(docs_stream: DataFrame, *,
+                         watermark: str = "1 hour",
+                         horizon_seconds: int = 3600,
+                         ts_col: str = "ingested_at",
+                         n_hashes: int = 64, n_bands: int = 8,
+                         shingle: int = 5) -> DataFrame:
+    """Streaming NEAR-dup detection at ingest: MinHash band hashes are
+    computed document-locally in-stream (the same mapInArrow stage as
+    batch, ``minhash_bands`` with the ingest timestamp passed through),
+    then ``applyInPandasWithState`` keyed by ``(band_id, band_hash)``
+    keeps the FIRST document seen per band bucket within the watermark
+    horizon and flags every later arrival sharing the bucket.
+
+    Output rows ``(doc_id, band_id, dup_of)``: ``doc_id`` shares a
+    signature band with the earlier-ingested ``dup_of``. A document may
+    be flagged on several bands — downstream consumers ``distinct()``
+    or verify (exact jaccard) as in the batch pipeline; this stage's job
+    is bounded-state candidate generation on an unbounded crawl stream
+    (the streaming twin of ``minhash_candidates``; state per bucket is
+    one (doc_id, ts) pair, dropped by event-time timeout).
+
+    Single-batch semantics (availableNow over a static corpus) equal the
+    batch rule "every doc except the bucket minimum, paired with the
+    minimum, ordering by (ts, doc_id)" — which is SQL-expressible, so
+    the driver oracle can check this path end-to-end.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from ..operators.sketch import minhash_bands
+
+    bands = minhash_bands(
+        docs_stream.select("doc_id", "text", F.col(ts_col)),
+        n_hashes=n_hashes, n_bands=n_bands, shingle=shingle,
+        passthrough=ts_col).withWatermark(ts_col, watermark)
+
+    state_schema = "first_doc long, first_ts long"
+    out_schema = "doc_id long, band_id int, dup_of long"
+
+    def update(key, pdfs, state: GroupState):
+        band_id = int(key[0])
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = []
+        for pdf in pdfs:
+            for d, ts in zip(pdf["doc_id"], pdf[ts_col]):
+                rows.append((int(ts.timestamp()), int(d)))
+        rows.sort()
+        if state.exists:
+            first_doc, first_ts = state.get
+        else:
+            first_ts, first_doc = rows[0]
+        flagged = [(d, band_id, first_doc)
+                   for ts, d in rows if d != first_doc]
+        state.update((first_doc, first_ts))
+        # retire the bucket horizon_seconds past its last event (event-time
+        # clock — deterministic on replay; must stay ahead of the watermark)
+        state.setTimeoutTimestamp(
+            max((rows[-1][0] + horizon_seconds) * 1000,
+                state.getCurrentWatermarkMs() + 1))
+        if flagged:
+            yield pd.DataFrame(flagged,
+                               columns=["doc_id", "band_id", "dup_of"])
+
+    return (bands.groupBy("band_id", "band_hash")
+            .applyInPandasWithState(
+                update, out_schema, state_schema, "append",
+                GroupStateTimeout.EventTimeTimeout))

@@ -294,3 +294,30 @@ def test_shingle_sets_sorted_distinct_and_guarded(spark):
     want = {int.from_bytes(hashlib.md5(x.encode()).digest()[:4], "big")
             for x in _shingles("abcdefabcdef")}
     assert set(s) == want
+
+
+def test_containment_catches_embedded_document(spark):
+    """A small doc embedded verbatim inside a much larger one has LOW
+    jaccard (shingle sets differ wildly in size) but containment ≈ 1.0 —
+    the case this operator exists for."""
+    from rdf_rdfxml_spark.operators.sketch import containment_pairs
+    import hashlib as _h
+    small = "the quick brown fox jumps over the lazy dog " * 4
+    filler = " ".join(
+        _h.sha256(f"w{i}".encode()).hexdigest()[:6] for i in range(400))
+    big = filler[:900] + " " + small + " " + filler[900:]
+    other = " ".join(
+        _h.sha256(f"z{i}".encode()).hexdigest()[:6] for i in range(300))
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, other)], "doc_id long, text string")
+    rows = {(r["a"], r["b"]): r for r in containment_pairs(df).collect()}
+    assert (1, 2) in rows, rows
+    r = rows[(1, 2)]
+    assert r["containment_a_r"] >= 0.9          # small ⊆ big
+    assert r["containment_b_r"] <= 0.5          # big ⊄ small
+    # jaccard over the same fingerprints would be below any dedup bar
+    jacc = r["n_shared"] / (r["n_shared"] / r["containment_a_r"]
+                            + r["n_shared"] / r["containment_b_r"]
+                            - r["n_shared"])
+    assert jacc < 0.35
+    assert (1, 3) not in rows and (2, 3) not in rows

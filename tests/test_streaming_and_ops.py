@@ -438,3 +438,43 @@ def test_repetition_stats_semantics(spark):
     assert rows[2]["dup_word_frac"] == 0.0
     assert rows[2]["top_word_frac"] == round(1 / 6, 4)
     assert rows[3]["n_words"] == 1 and rows[3]["dup_2gram_frac"] == 0.0
+
+
+def test_stream_neardup_cross_batch_state(spark, tmp_path):
+    """The property an availableNow single batch can't prove: a near-dup
+    arriving in a LATER micro-batch must be flagged against the first
+    occurrence held in bucket state from an EARLIER batch
+    (maxFilesPerTrigger=1 forces one batch per file)."""
+    import datetime as dt
+    from rdf_rdfxml_spark.streaming.stream import stream_neardup_flags
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    original = ("a genuinely distinctive document about knowledge graph "
+                "construction with spark catalyst plans and arrow batches "
+                "plus salted joins and adaptive execution for the win")
+    neardup = original.replace("catalyst", "catalist")
+    unrelated = " ".join(f"tok{i}zz" for i in range(40))
+    src = str(tmp_path / "nd_in")
+    schema_str = "doc_id long, text string, ingested_at timestamp"
+    # batch 1: the original + an unrelated doc
+    spark.createDataFrame(
+        [(1, original, t0), (2, unrelated, t0)], schema_str
+    ).coalesce(1).write.parquet(src)
+    # batch 2 (separate file): the near-dup, five minutes later
+    spark.createDataFrame(
+        [(3, neardup, t0 + dt.timedelta(minutes=5))], schema_str
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = str(tmp_path / "nd_out")
+    ckpt = str(tmp_path / "nd_ckpt")
+    q = (stream_neardup_flags(stream).writeStream
+         .option("checkpointLocation", ckpt)
+         .format("parquet").option("path", out)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.read.parquet(out).collect()
+    flagged = {(r["doc_id"], r["dup_of"]) for r in got}
+    assert flagged == {(3, 1)}, flagged          # cross-batch flag only
+    assert len(got) >= 1                          # >=1 shared band
+    # the near-dup shares most bands with the original (j ~= 0.95)
+    assert len({r["band_id"] for r in got}) >= 4
