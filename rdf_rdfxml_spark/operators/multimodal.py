@@ -3,13 +3,13 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata. The Spark-side plumbing — schema, partition-friendly batch shape,
 Arrow-vectorized UDF signatures, per-item error isolation — is real and
-tested, and two *real* pure-Python decoders are wired in (PPM P6 and
-24-bit uncompressed BMP — formats simple enough to decode with numpy
-alone). Compressed formats (JPEG/PNG/WebP) need a codec library this
-container doesn't ship, so they remain a declared
-``NotImplementedError`` seam; ``fake=True`` additionally enables the
-deterministic pseudo-pixel decoder for plumbing tests over arbitrary
-payloads.
+tested, and four *real* pure-Python decoders are wired in: PPM P6,
+24-bit uncompressed BMP, PNG (stdlib zlib inflate, all five scanline
+filters, CRC-verified), and GIF87a/89a (full variable-width LZW).
+JPEG/WebP need DCT/VP8 codec libraries this container doesn't ship, so
+they remain a declared ``NotImplementedError`` seam; ``fake=True``
+additionally enables the deterministic pseudo-pixel decoder for
+plumbing tests over arbitrary payloads.
 
 At 100 TB scale the pattern is the one that matters: ``mapInPandas`` over
 Arrow batches keeps payload bytes zero-copy end-to-end, metadata columns
@@ -242,6 +242,8 @@ def decode_image(payload: bytes, *, fake: bool = False) -> np.ndarray:
         return decode_bmp(payload)
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
+    if payload[:6] in GIF_SIGS:
+        return decode_gif(payload)
     if not fake:
         raise NotImplementedError(
             "no codec for this image format in this environment "
@@ -300,16 +302,19 @@ def extract_features(media: DataFrame, *, fake_decode: bool = False,
 
 def synth_media_item(i: int) -> tuple:
     """Deterministic synthetic media item i: (media_id, mime, payload,
-    w, h). Formats alternate PPM / PNG so the real compressed-format
-    decode path is exercised end-to-end; shared by :func:`synth_media`
+    w, h). Formats rotate PPM / PNG / GIF so every real decoder is
+    exercised end-to-end (the images have ≤160 pixels, so GIF's ≤256-
+    color palettization is always exact); shared by :func:`synth_media`
     and the driver oracle builder so the two can never drift."""
     seed = int.from_bytes(
         hashlib.sha256(f"media:{i}".encode()).digest()[:4], "big")
     rng = np.random.default_rng(seed)
     w, h = 4 + (i % 13), 4 + (i % 7)
     img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-    if i % 2:
+    if i % 3 == 1:
         return ("m%04d" % i, "image/png", encode_png(img), w, h)
+    if i % 3 == 2:
+        return ("m%04d" % i, "image/gif", encode_gif(img), w, h)
     return ("m%04d" % i, "image/x-portable-pixmap", encode_ppm(img), w, h)
 
 
@@ -537,3 +542,181 @@ def synth_audio(spark, n: int = 8, rate: int = 8000,
         rows.append(("a%04d" % i, "audio", "audio/wav",
                      bytearray(payload), None, None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 → GIF87a payload (test/synth helper). GIF is
+    palettized: the image must have ≤ 256 distinct colors (exact,
+    lossless round trip); LZW output emits literal index codes with a
+    CLEAR whenever the decoder's dictionary would force a code-width
+    increase, keeping every code at ``mcs``+1 bits — small output is
+    larger than optimal LZW but spec-valid and simple to verify."""
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise DecodeError("encode_gif needs <= 256 distinct colors")
+    # palette size must be a power of two, >= 2
+    psize = 2
+    while psize < len(colors):
+        psize *= 2
+    pal = np.zeros((psize, 3), dtype=np.uint8)
+    pal[:len(colors)] = colors
+    pbits = max(1, psize.bit_length() - 1)
+    mcs = max(2, pbits)  # LZW minimum code size (>= 2 per spec)
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+
+    bits, nbits = 0, 0
+    out = bytearray()
+
+    def emit(code: int):
+        nonlocal bits, nbits
+        bits |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bits & 0xFF)
+            bits >>= 8
+            nbits -= 8
+
+    emit(clear)
+    dict_size = end + 1
+    for idx in inverse:
+        # decoder grows its dict by one entry per code after the first of
+        # a run; CLEAR before it would have to widen past mcs+1 bits
+        if dict_size >= (1 << width) - 1:
+            emit(clear)
+            dict_size = end + 1
+        emit(int(idx))
+        dict_size += 1
+    emit(end)
+    if nbits:
+        out.append(bits & 0xFF)
+
+    payload = bytearray(b"GIF87a")
+    payload += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    payload.append(0x80 | (pbits - 1))  # global color table, 2^pbits
+    payload += b"\x00\x00"              # bg index, aspect
+    payload += pal.tobytes()
+    payload += b"\x2c" + b"\x00\x00\x00\x00"  # image at (0,0)
+    payload += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    payload.append(0x00)                # no local table, not interlaced
+    payload.append(mcs)
+    for i in range(0, len(out), 255):
+        chunk = out[i:i + 255]
+        payload.append(len(chunk))
+        payload += chunk
+    payload += b"\x00\x3b"              # block terminator, trailer
+    return bytes(payload)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a → HxWx3 uint8. Real pure-Python decoder: global/local
+    color tables, full variable-width LZW (dictionary growth to 4096,
+    CLEAR/END handling), extension blocks skipped; interlaced images and
+    transparency composition are out of scope (DecodeError)."""
+    if payload[:6] not in GIF_SIGS:
+        raise DecodeError("not a GIF")
+    if len(payload) < 13:
+        raise DecodeError("truncated GIF header")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise DecodeError(f"unexpected GIF block 0x{b:02x}")
+        if pos + 10 > len(payload):
+            raise DecodeError("truncated image descriptor")
+        w = int.from_bytes(payload[pos + 5:pos + 7], "little")
+        h = int.from_bytes(payload[pos + 7:pos + 9], "little")
+        iflags = payload[pos + 9]
+        pos += 10
+        if iflags & 0x40:
+            raise DecodeError("interlaced GIF unsupported")
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise DecodeError("GIF image without a color table")
+        if pos >= len(payload):
+            raise DecodeError("missing LZW min code size")
+        mcs = payload[pos]
+        pos += 1
+        if not 2 <= mcs <= 11:
+            raise DecodeError(f"bad LZW min code size {mcs}")
+        data = bytearray()
+        while pos < len(payload) and payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1  # block terminator
+
+        clear, end = 1 << mcs, (1 << mcs) + 1
+        width = mcs + 1
+        table: list = []
+
+        def reset():
+            nonlocal table, width
+            table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+            width = mcs + 1
+
+        reset()
+        out = bytearray()
+        bits = nbits = 0
+        prev: bytes | None = None
+        bi = 0
+        while True:
+            while nbits < width:
+                if bi >= len(data):
+                    raise DecodeError("LZW stream ended without END code")
+                bits |= data[bi] << nbits
+                bi += 1
+                nbits += 8
+            code = bits & ((1 << width) - 1)
+            bits >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == end:
+                break
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise DecodeError(f"bad LZW code {code}")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+            prev = entry
+        if len(out) != w * h:
+            raise DecodeError(f"GIF index count {len(out)} != {w * h}")
+        idx = np.frombuffer(bytes(out), dtype=np.uint8)
+        if idx.max(initial=0) >= len(pal):
+            raise DecodeError("GIF index beyond color table")
+        return pal[idx].reshape(h, w, 3).copy()
+    raise DecodeError(f"no image data in GIF ({sw}x{sh} screen)")

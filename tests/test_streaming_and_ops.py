@@ -478,3 +478,51 @@ def test_stream_neardup_cross_batch_state(spark, tmp_path):
     assert len(got) >= 1                          # >=1 shared band
     # the near-dup shares most bands with the original (j ~= 0.95)
     assert len({r["band_id"] for r in got}) >= 4
+
+
+def test_decode_gif_real():
+    """GIF decoder: palette-exact round trips (incl. 256-color and
+    many-CLEAR streams), plus a hand-packed LZW stream exercising the
+    KwKwK dictionary-growth case (code == next table slot) that the
+    literal-only test encoder never emits."""
+    import numpy as np
+
+    from rdf_rdfxml_spark.operators.multimodal import (
+        DecodeError, decode_gif, decode_image, encode_gif,
+    )
+    rng = np.random.default_rng(3)
+    img = (rng.integers(0, 4, size=(11, 7, 1), dtype=np.uint8)
+           .repeat(3, axis=2) * 60)
+    assert (decode_gif(encode_gif(img)) == img).all()
+    assert (decode_image(encode_gif(img)) == img).all()  # dispatch
+    vals = np.arange(256, dtype=np.uint8)
+    img256 = np.stack([vals, vals[::-1], (vals * 7) % 256],
+                      axis=1).reshape(16, 16, 3).astype(np.uint8)
+    assert (decode_gif(encode_gif(img256)) == img256).all()
+    big = rng.integers(0, 256, size=(40, 50),
+                       dtype=np.uint8)[..., None].repeat(3, 2)
+    assert (decode_gif(encode_gif(big)) == big).all()  # many LZW clears
+
+    # hand-packed stream, mcs=2 (clear=4, end=5), codes [4,1,6,1,5]:
+    # code 6 == len(table) → KwKwK (entry = prev + prev[0]) → pixels 1,1,1,1
+    pal = bytes([0, 0, 0, 10, 20, 30, 0, 0, 0, 0, 0, 0])
+    payload = (b"GIF87a" + (2).to_bytes(2, "little")
+               + (2).to_bytes(2, "little")
+               + bytes([0x81, 0, 0]) + pal          # 4-entry global table
+               + b"\x2c\x00\x00\x00\x00"
+               + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+               + b"\x00" + bytes([2])               # mcs=2
+               + bytes([2, 140, 83])                # one 2-byte sub-block
+               + b"\x00\x3b")
+    got = decode_gif(payload)
+    assert got.shape == (2, 2, 3) and (got == [10, 20, 30]).all()
+
+    import pytest as _pt
+    _pt.raises(DecodeError, decode_gif, b"GIF87a")
+    _pt.raises(DecodeError, decode_gif, encode_gif(img)[:30])
+    _pt.raises(DecodeError, decode_gif, b"not a gif at all")
+    # >256 colors can't be palettized losslessly
+    grad = np.arange(1024, dtype=np.int32).reshape(32, 32)
+    rich = np.stack([grad % 256, grad // 4 % 256, grad // 16 % 256],
+                    axis=2).astype(np.uint8)
+    _pt.raises(DecodeError, encode_gif, rich)
