@@ -464,7 +464,7 @@ def decode_wav(payload: bytes) -> tuple:
     codec library (compressed audio stays the declared seam)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise DecodeError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact = 12, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         size = int.from_bytes(payload[pos + 4:pos + 8], "little")
@@ -473,24 +473,208 @@ def decode_wav(payload: bytes) -> tuple:
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            fact = int.from_bytes(body[0:4], "little")
         pos += 8 + size + (size & 1)  # chunks pad to even
     if fmt is None or data is None:
         raise DecodeError("missing fmt/data chunk")
     audio_format = int.from_bytes(fmt[0:2], "little")
     channels = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits not in (8, 16) or channels < 1:
-        raise DecodeError(
-            f"unsupported WAV (format={audio_format}, bits={bits})")
-    if bits == 16:
-        samples = np.frombuffer(data[:len(data) - len(data) % (2 * channels)],
-                                dtype="<i2")
-    else:  # 8-bit PCM is unsigned, center on 0 at int16 scale
-        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.int16)
-                   - 128) * 256
+    if channels < 1:
+        raise DecodeError("bad WAV channel count")
+    if audio_format == 1 and bits in (8, 16):
+        if bits == 16:
+            samples = np.frombuffer(
+                data[:len(data) - len(data) % (2 * channels)], dtype="<i2")
+        else:  # 8-bit PCM is unsigned, center on 0 at int16 scale
+            samples = (np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+                       - 128) * 256
+            samples = samples[:len(samples) - len(samples) % channels]
+        return samples.reshape(-1, channels), rate
+    if audio_format == 6:   # G.711 A-law (compressed, 8 bits/sample)
+        samples = _alaw_decode(np.frombuffer(data, dtype=np.uint8))
         samples = samples[:len(samples) - len(samples) % channels]
-    return samples.reshape(-1, channels), rate
+        return samples.reshape(-1, channels), rate
+    if audio_format == 7:   # G.711 mu-law
+        samples = _mulaw_decode(np.frombuffer(data, dtype=np.uint8))
+        samples = samples[:len(samples) - len(samples) % channels]
+        return samples.reshape(-1, channels), rate
+    if audio_format == 0x11:  # IMA ADPCM (4 bits/sample, block-based)
+        if channels != 1:
+            raise DecodeError("IMA ADPCM decode supports mono only")
+        samples = _ima_adpcm_decode(data, block_align)
+        if fact is not None:  # true sample count (last block is padded)
+            samples = samples[:fact]
+        return samples[:, None], rate
+    raise DecodeError(
+        f"unsupported WAV (format={audio_format}, bits={bits})")
+
+
+def _mulaw_decode(b: np.ndarray) -> np.ndarray:
+    """G.711 mu-law bytes → int16 (table-free reference formula)."""
+    u = (~b) & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = (u & 0x0F).astype(np.int32)
+    s = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -s, s).astype(np.int16)
+
+
+def _mulaw_encode(s: np.ndarray) -> np.ndarray:
+    s = s.astype(np.int32)
+    sign = np.where(s < 0, 0x80, 0)
+    mag = np.minimum(np.abs(s), 32635) + 0x84
+    exp = np.clip(np.floor(np.log2(mag)).astype(np.int32) - 7, 0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ((~(sign | (exp << 4) | mant)) & 0xFF).astype(np.uint8)
+
+
+def _alaw_decode(b: np.ndarray) -> np.ndarray:
+    """G.711 A-law bytes → int16 (even bits inverted per spec; MSB set
+    means positive)."""
+    a = b ^ 0x55
+    sign = (a & 0x80) != 0
+    exp = (a >> 4) & 0x07
+    mant = (a & 0x0F).astype(np.int32)
+    s = np.where(exp == 0, (mant << 4) + 8,
+                 ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(sign, s, -s).astype(np.int16)
+
+
+def _alaw_encode(s: np.ndarray) -> np.ndarray:
+    """Nearest-codeword A-law encode: correct by construction against
+    :func:`_alaw_decode` (256 codewords, vectorized searchsorted)."""
+    dec = _alaw_decode(np.arange(256, dtype=np.uint8)).astype(np.int32)
+    order = np.argsort(dec, kind="stable")
+    vals = dec[order]
+    x = s.astype(np.int32)
+    pos = np.searchsorted(vals, x)
+    lo = np.clip(pos - 1, 0, 255)
+    hi = np.clip(pos, 0, 255)
+    pick = np.where(np.abs(vals[hi] - x) < np.abs(x - vals[lo]), hi, lo)
+    return order[pick].astype(np.uint8)
+
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_step(pred: int, idx: int, nib: int) -> tuple[int, int]:
+    step = int(_IMA_STEPS[idx])
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + int(_IMA_INDEX[nib & 7])))
+    return pred, idx
+
+
+def _ima_adpcm_decode(data: bytes, block_align: int) -> np.ndarray:
+    """IMA/DVI ADPCM (WAV format 0x11, mono): per block, a 4-byte header
+    (int16 predictor, step index, reserved) then 4-bit nibbles,
+    low-nibble-first."""
+    if block_align < 5:
+        raise DecodeError(f"bad ADPCM block align {block_align}")
+    out = []
+    for off in range(0, len(data) - len(data) % block_align, block_align):
+        blk = data[off:off + block_align]
+        pred = int.from_bytes(blk[0:2], "little", signed=True)
+        idx = blk[2]
+        if idx > 88:
+            raise DecodeError(f"bad ADPCM step index {idx}")
+        out.append(pred)
+        for byte in blk[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                pred, idx = _ima_step(pred, idx, nib)
+                out.append(pred)
+    if not out:
+        raise DecodeError("empty ADPCM stream")
+    return np.asarray(out, dtype=np.int16)
+
+
+def _ima_adpcm_encode(samples: np.ndarray, *, block_samples: int = 505
+                      ) -> tuple[bytes, int]:
+    """Mono int16 → (IMA ADPCM data, block_align). Standard greedy
+    encoder: per sample pick the nibble whose decoded step lands closest."""
+    s = samples.astype(np.int32).ravel()
+    block_align = 4 + (block_samples - 1 + 1) // 2  # header + nibbles
+    out = bytearray()
+    idx = 0
+    pos = 0
+    while pos < len(s):
+        chunk = s[pos:pos + block_samples]
+        pred = int(chunk[0])
+        out += int(pred).to_bytes(2, "little", signed=True)
+        out += bytes([idx, 0])
+        nibs = []
+        for v in chunk[1:]:
+            step = int(_IMA_STEPS[idx])
+            diff = int(v) - pred
+            nib = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            pred, idx = _ima_step(pred, idx, nib)
+            nibs.append(nib)
+        if len(nibs) % 2:
+            nibs.append(0)
+        for i in range(0, len(nibs), 2):
+            out.append(nibs[i] | (nibs[i + 1] << 4))
+        pad = block_align - 4 - len(nibs) // 2
+        out += b"\x00" * pad if pad > 0 else b""
+        pos += block_samples
+    return bytes(out), block_align
+
+
+def encode_wav_compressed(samples: np.ndarray, rate: int,
+                          codec: str) -> bytes:
+    """(n, 1) int16 → RIFF/WAVE with a COMPRESSED codec: 'mulaw' (fmt 7),
+    'alaw' (fmt 6), or 'adpcm' (IMA, fmt 0x11). Test/synth helper."""
+    mono = samples.reshape(-1)
+    if codec == "mulaw":
+        tag, bits, data = 7, 8, _mulaw_encode(mono).tobytes()
+        block = 1
+    elif codec == "alaw":
+        tag, bits, data = 6, 8, _alaw_encode(mono).tobytes()
+        block = 1
+    elif codec == "adpcm":
+        data, block = _ima_adpcm_encode(mono)
+        tag, bits = 0x11, 4
+    else:
+        raise ValueError(f"unknown codec {codec}")
+    fmt = (tag.to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + rate.to_bytes(4, "little")
+           + (rate * block).to_bytes(4, "little")
+           + block.to_bytes(2, "little") + bits.to_bytes(2, "little"))
+    # the fact chunk carries the true sample count (required for
+    # compressed WAV; the decoder uses it to drop ADPCM block padding)
+    fact = len(mono).to_bytes(4, "little")
+    body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt \
+        + b"fact" + (4).to_bytes(4, "little") + fact \
+        + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:
@@ -543,13 +727,20 @@ def audio_features(media: DataFrame, *,
 
 def synth_audio(spark, n: int = 8, rate: int = 8000,
                 ms: int = 50) -> DataFrame:
-    """Deterministic synthetic WAV table (sine tones, no external data)."""
+    """Deterministic synthetic WAV table (sine tones, no external data).
+    Codecs rotate PCM / mu-law / A-law / IMA-ADPCM so the compressed
+    audio decode paths run through the distributed feature UDF too."""
     rows = []
     for i in range(n):
         t = np.arange(int(rate * ms / 1000)) / rate
         freq = 220.0 * (i + 1)
         wave = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
-        payload = encode_wav(wave.reshape(-1, 1), rate)
+        codec = (None, "mulaw", "alaw", "adpcm")[i % 4]
+        if codec is None:
+            payload = encode_wav(wave.reshape(-1, 1), rate)
+        else:
+            payload = encode_wav_compressed(wave.reshape(-1, 1), rate,
+                                            codec)
         rows.append(("a%04d" % i, "audio", "audio/wav",
                      bytearray(payload), None, None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

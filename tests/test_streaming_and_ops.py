@@ -526,3 +526,49 @@ def test_decode_gif_real():
     rich = np.stack([grad % 256, grad // 4 % 256, grad // 16 % 256],
                     axis=2).astype(np.uint8)
     _pt.raises(DecodeError, encode_gif, rich)
+
+
+def test_compressed_audio_codecs():
+    """G.711 mu-law/A-law and IMA ADPCM inside WAV: spec anchor values,
+    companding-bounded roundtrips, and container dispatch."""
+    import numpy as np
+
+    from rdf_rdfxml_spark.operators.multimodal import (
+        DecodeError, _alaw_decode, _ima_adpcm_decode, _mulaw_decode,
+        decode_wav, encode_wav_compressed,
+    )
+    # anchors from the G.711 tables
+    mu = _mulaw_decode(np.array([0xFF, 0x7F, 0x80, 0x00], dtype=np.uint8))
+    assert mu.tolist() == [0, 0, 32124, -32124]
+    al = _alaw_decode(np.array([0x55, 0xD5, 0x2A, 0xAA], dtype=np.uint8))
+    assert al.tolist() == [-8, 8, -32256, 32256]
+
+    rng = np.random.default_rng(5)
+    s = rng.integers(-30000, 30000, size=4000).astype(np.int16)
+    for codec, tol in (("mulaw", 0.04), ("alaw", 0.04)):
+        wav = encode_wav_compressed(s.reshape(-1, 1), 8000, codec)
+        got, rate = decode_wav(wav)
+        assert rate == 8000 and got.shape == (4000, 1)
+        rel = (np.abs(got[:, 0].astype(int) - s.astype(int))
+               / np.maximum(np.abs(s.astype(int)), 256))
+        assert rel.max() <= tol  # 8-bit companding quantization bound
+
+    # ADPCM: differential codec, check on a smooth signal
+    t = np.arange(6000)
+    sig = (8000 * np.sin(t / 30) + 3000 * np.sin(t / 7)).astype(np.int16)
+    wav = encode_wav_compressed(sig.reshape(-1, 1), 16000, "adpcm")
+    got, rate = decode_wav(wav)
+    assert rate == 16000
+    n = min(len(got), len(sig))
+    err = np.abs(got[:n, 0].astype(int) - sig[:n].astype(int))
+    assert err.mean() < 100  # tracks the signal
+    # compression is real: 4 bits/sample vs 16
+    assert len(wav) < len(sig) * 2 * 0.3
+
+    # declared limits fail loudly
+    import pytest as _pt
+    bad = bytearray(encode_wav_compressed(sig.reshape(-1, 1), 16000,
+                                          "adpcm"))
+    bad[22] = 2  # claim stereo ADPCM
+    _pt.raises(DecodeError, decode_wav, bytes(bad))
+    _pt.raises(DecodeError, _ima_adpcm_decode, b"", 4)
