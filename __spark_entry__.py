@@ -744,6 +744,25 @@ def q_multimodal_features(spark, sf_dir):
             .select("media_id", "feature", "n_bytes"))
 
 
+def _video_oracle() -> str:
+    # Same payloads as synth_video (shared synth_video_item), split with
+    # the same container dispatch at SQL-generation time; the distributed
+    # query must reproduce these constants through the real splitter.
+    from rdf_rdfxml_spark.operators.multimodal import (
+        split_video_frames, synth_video_item,
+    )
+    rows = []
+    for i in range(8):
+        media_id, _mime, payload = synth_video_item(i, 12)
+        fs = split_video_frames(payload)
+        for f in range(0, len(fs), 4):
+            rows.append(f"('{media_id}', {f}, {len(fs[f])})")
+    values = ",\n      ".join(rows)
+    return (f"SELECT media_id, CAST(frame_index AS INTEGER) AS frame_index,"
+            f" CAST(n_bytes AS INTEGER) AS n_bytes FROM (VALUES\n"
+            f"      {values}) AS t(media_id, frame_index, n_bytes)")
+
+
 def _pii_scrub_oracle() -> str:
     _, duck_expr = _CUR.pii_texts()
     return _CUR.pii_scrub_oracle_sql(text_expr=duck_expr)
@@ -1351,12 +1370,7 @@ def oracle_sql() -> dict[str, str]:
 
         # 8 videos × frames {0,4,8}; each 8×6 PPM frame = 11-byte header
         # ("P6\n8 6\n255\n") + 144 raster bytes
-        "video_frame_sample": """
-    SELECT 'v' || lpad(CAST(v AS VARCHAR), 4, '0') AS media_id,
-           CAST(f AS INTEGER) AS frame_index,
-           CAST(155 AS INTEGER) AS n_bytes
-    FROM generate_series(0, 7) AS gv(v),
-         (VALUES (0), (4), (8)) AS gf(f)""",
+        "video_frame_sample": _video_oracle(),
 
         "events_windowed": """
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,

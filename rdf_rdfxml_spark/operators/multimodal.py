@@ -407,13 +407,42 @@ def split_ppm_frames(payload: bytes) -> list:
     return frames
 
 
+def split_mjpeg_frames(payload: bytes) -> list[bytes]:
+    """Raw MJPEG stream (concatenated baseline JPEG frames) → frame
+    payload list. Safe boundary scan: inside entropy-coded data 0xFF is
+    always followed by 0x00 (byte stuffing) or an RST marker, so a bare
+    SOI→EOI span delimits exactly one frame."""
+    frames = []
+    pos = 0
+    while pos < len(payload):
+        if payload[pos:pos + 2] != b"\xff\xd8":
+            raise DecodeError(f"MJPEG frame boundary expected at {pos}")
+        end = payload.find(b"\xff\xd9", pos + 2)
+        if end < 0:
+            raise DecodeError("MJPEG frame without EOI")
+        frames.append(payload[pos:end + 2])
+        pos = end + 2
+    if not frames:
+        raise DecodeError("empty MJPEG stream")
+    return frames
+
+
+def split_video_frames(payload: bytes) -> list[bytes]:
+    """Container dispatch for frame splitting: PPM-sequence or raw
+    MJPEG (compressed video — every frame is a baseline JPEG our
+    operators/jpeg.py decodes)."""
+    if payload[:2] == b"\xff\xd8":
+        return split_mjpeg_frames(payload)
+    return split_ppm_frames(payload)
+
+
 def sample_frames(media: DataFrame, *, every: int = 4,
                   payload_col: str = "payload") -> DataFrame:
-    """Video frame-sampling over PPM-sequence payloads: keep every
-    ``every``-th frame, one output row per kept frame
-    ``(media_id, frame_index, frame)``. Compressed video needs codecs this
-    container lacks — same declared seam as compressed images; the
-    sampling/explode plumbing (the Spark-side shape) is fully real."""
+    """Video frame-sampling over PPM-sequence or raw-MJPEG payloads:
+    keep every ``every``-th frame, one output row per kept frame
+    ``(media_id, frame_index, frame)``. MJPEG frames decode with the
+    pure-numpy baseline JPEG codec; inter-coded formats (H.26x/VP9)
+    remain the declared seam."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -421,7 +450,7 @@ def sample_frames(media: DataFrame, *, every: int = 4,
             for mid, payload in zip(pdf["media_id"].values,
                                     pdf[payload_col].values):
                 try:
-                    fs = split_ppm_frames(bytes(payload or b""))
+                    fs = split_video_frames(bytes(payload or b""))
                     for i in range(0, len(fs), every):
                         ids.append(mid)
                         idxs.append(i)
@@ -441,20 +470,33 @@ def sample_frames(media: DataFrame, *, every: int = 4,
                "error string")
 
 
+def synth_video_item(i: int, frames: int = 12) -> tuple:
+    """Deterministic synthetic video item i: (media_id, mime, payload).
+    Containers alternate PPM-sequence / raw MJPEG (JPEG-encoded frames —
+    real compressed video through the frame-sampling path); shared by
+    :func:`synth_video` and the driver oracle builder."""
+    parts = []
+    for f in range(frames):
+        seed = int.from_bytes(
+            hashlib.sha256(f"video:{i}:{f}".encode()).digest()[:4], "big")
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+        if i % 2:
+            from .jpeg import encode_jpeg
+            parts.append(encode_jpeg(img))
+        else:
+            parts.append(encode_ppm(img))
+    mime = "video/x-motion-jpeg" if i % 2 else "video/x-ppm-seq"
+    return ("v%04d" % i, mime, b"".join(parts))
+
+
 def synth_video(spark, n: int = 8, frames: int = 12) -> DataFrame:
-    """Deterministic synthetic 'video' table: PPM-sequence payloads."""
+    """Deterministic synthetic 'video' table: PPM-sequence and raw-MJPEG
+    payloads."""
     rows = []
     for i in range(n):
-        payload = b""
-        for f in range(frames):
-            seed = int.from_bytes(
-                hashlib.sha256(f"video:{i}:{f}".encode()).digest()[:4],
-                "big")
-            rng = np.random.default_rng(seed)
-            payload += encode_ppm(
-                rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8))
-        rows.append(("v%04d" % i, "video", "video/x-ppm-seq",
-                     bytearray(payload), 8, 6))
+        media_id, mime, payload = synth_video_item(i, frames)
+        rows.append((media_id, "video", mime, bytearray(payload), 8, 6))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

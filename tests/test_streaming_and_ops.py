@@ -250,8 +250,10 @@ def test_resize_images_real(spark):
 
 
 def test_sample_frames_real(spark):
+    # containers rotate PPM-sequence (even ids) / raw MJPEG (odd ids) —
+    # decode_image handles each sampled frame either way
     from rdf_rdfxml_spark.operators.multimodal import (
-        decode_ppm, sample_frames, split_ppm_frames, synth_video,
+        decode_image, sample_frames, split_ppm_frames, synth_video,
     )
     vids = synth_video(spark, 4, frames=12)
     rows = sample_frames(vids, every=4).collect()
@@ -263,8 +265,11 @@ def test_sample_frames_real(spark):
     for vid, rs in by_vid.items():
         assert sorted(r["frame_index"] for r in rs) == [0, 4, 8]
         for r in rs:
-            img = decode_ppm(bytes(r["frame"]))
+            img = decode_image(bytes(r["frame"]))
             assert img.shape == (6, 8, 3)
+    # MJPEG frames really are JPEG
+    assert all(bytes(r["frame"])[:3] == b"\xff\xd8\xff"
+               for r in by_vid["v0001"])
     # sampled frame bytes match a local split of the same payload
     payload = bytes({r["media_id"]: r for r in vids.collect()}
                     ["v0000"]["payload"])
@@ -572,3 +577,29 @@ def test_compressed_audio_codecs():
     bad[22] = 2  # claim stereo ADPCM
     _pt.raises(DecodeError, decode_wav, bytes(bad))
     _pt.raises(DecodeError, _ima_adpcm_decode, b"", 4)
+
+
+def test_mjpeg_frame_split_and_decode():
+    """Raw MJPEG container: frame boundaries found safely (byte stuffing
+    means a bare FFD9 only ever ends a frame), every sampled frame
+    decodes with the baseline JPEG codec."""
+    import numpy as np
+
+    from rdf_rdfxml_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from rdf_rdfxml_spark.operators.multimodal import (
+        DecodeError, split_mjpeg_frames, split_video_frames,
+    )
+    rng = np.random.default_rng(8)
+    imgs = [rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+            for _ in range(5)]
+    payload = b"".join(encode_jpeg(im, quality=90) for im in imgs)
+    fs = split_mjpeg_frames(payload)
+    assert len(fs) == 5
+    for f, im in zip(fs, imgs):
+        dec = decode_jpeg(f)
+        assert dec.shape == (6, 8, 3)
+        assert np.abs(dec.astype(int) - im.astype(int)).mean() < 60
+    assert split_video_frames(payload) == fs       # dispatch
+    import pytest as _pt
+    _pt.raises(DecodeError, split_mjpeg_frames, payload[:-2])  # no EOI
+    _pt.raises(DecodeError, split_mjpeg_frames, b"junk" + payload)
