@@ -558,6 +558,17 @@ def q_dedup_embedding_trained(spark, sf_dir):
     return dedup_embedding_bucketed(emb, centroids=centroids)
 
 
+def q_ann_quantized_topk(spark, sf_dir):
+    # int8 scalar-quantized ANN: 4x less data per vector, exact integer
+    # dot products (no cross-engine float seams in the compare). The
+    # quantized baseline twin of ann_cosine_topk; recall vs exact float
+    # top-k is measured in tests/test_ann.py.
+    from rdf_rdfxml_spark.operators.ann import (
+        ann_quantized_topk, load_embeddings,
+    )
+    return ann_quantized_topk(load_embeddings(spark, sf_dir))
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-style ANN: 8 data-derived centroids (lowest vec_ids), every
     vector assigned to its best cell; queries probe their 2 nearest cells
@@ -939,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "dedup_embedding_trained": q_dedup_embedding_trained,
+        "ann_quantized_topk": q_ann_quantized_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained": q_ann_ivf_trained,
         "stream_neardup": q_stream_neardup,
@@ -1308,6 +1320,8 @@ def oracle_sql() -> dict[str, str]:
     FROM r WHERE rnk <= 3""",
 
         "ann_lsh_bucketed": _ANN.lsh_topk_oracle_sql(),
+
+        "ann_quantized_topk": _ANN.ann_quantized_oracle_sql(),
 
         "ann_ivf_trained": _ANN.kmeans_oracle_sql(),
 

@@ -437,3 +437,72 @@ def dedup_trained_oracle_sql(*, threshold: float = 0.4, k: int = 8,
                    JOIN unit ub ON ub.vec_id = p.b)
     SELECT a, b, ROUND(sim, 4) AS sim_r FROM sims
     WHERE sim >= {threshold}""")
+
+
+def quantize_embeddings(emb: DataFrame) -> DataFrame:
+    """Symmetric int8 scalar quantization of the UNIT vector:
+    ``q_i = round(127 · v_i / ‖v‖)`` → (vec_id, qv array<int>, with every
+    element in [-127, 127]). The 100 TB motivation: 4 bytes/dim float →
+    1 byte/dim with ≈1% cosine error (measured in tests/test_ann.py),
+    so the candidate-pair dot products in the dedup/ANN paths move 4×
+    less data and run on exact integer arithmetic (bit-identical across
+    engines — no float-parity seams in the hot compare)."""
+    norm = ("sqrt(aggregate(transform(v, x -> x * x), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))")
+    return emb.selectExpr(
+        "vec_id",
+        f"transform(v, x -> CAST(round(127.0 * x / ({norm})) AS INT)) "
+        "AS qv")
+
+
+def ann_quantized_topk(emb: DataFrame, *, k: int = 3,
+                       n_queries: int = 10) -> DataFrame:
+    """Brute-force top-k over int8-quantized cosine (the quantized
+    baseline twin of ``ann_cosine_topk``; the scale path composes the
+    same IVF cell machinery with ``quantize_embeddings``). The integer
+    dot is exact, so ranking is engine-portable by construction.
+
+    Output ``(query_id, neighbor_id, rank, qsim_r)`` where qsim is the
+    integer dot rescaled by 1/127²."""
+    q = (quantize_embeddings(emb).filter(f"vec_id < {n_queries}")
+         .selectExpr("vec_id AS query_id", "qv AS qa"))
+    c = quantize_embeddings(emb).selectExpr("vec_id AS neighbor_id",
+                                            "qv AS qb")
+    dot = ("aggregate(zip_with(qa, qb, (x, y) -> CAST(x AS BIGINT) * y), "
+           "CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    sims = (F.broadcast(q).join(c, F.expr("query_id != neighbor_id"))
+            .selectExpr("query_id", "neighbor_id", f"({dot}) AS qdot"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"),
+                                               F.asc("neighbor_id"))
+    return (sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .selectExpr("query_id", "neighbor_id",
+                        "CAST(rank AS BIGINT) AS rank",
+                        # NB: a bare 127.0 literal is DECIMAL in Spark SQL
+                        # (decimal division → decimal round → Decimal rows,
+                        # breaking cross-engine float normalization)
+                        "round(qdot / CAST(16129 AS DOUBLE), 4) AS qsim_r"))
+
+
+def ann_quantized_oracle_sql(*, k: int = 3, n_queries: int = 10,
+                             table: str = "embeddings") -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+    qn AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(ROUND(
+               127.0 * x / sqrt(list_dot_product(v, v))) AS BIGINT)) AS qv
+      FROM e),
+    s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_dot_product(q.qv::DOUBLE[], c.qv::DOUBLE[])
+                  AS BIGINT) AS qdot
+      FROM qn q JOIN qn c ON q.vec_id < {n_queries}
+             AND q.vec_id != c.vec_id),
+    r AS (SELECT query_id, neighbor_id, qdot,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY qdot DESC, neighbor_id) AS rnk
+          FROM s)
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+           ROUND(qdot / (127.0 * 127.0), 4) AS qsim_r
+    FROM r WHERE rnk <= {k}"""

@@ -105,3 +105,41 @@ def test_trained_dedup_matches_brute_force(spark, vectors):
     got = {(r["a"], r["b"]) for r in
            dedup_embedding_bucketed(emb, centroids=centroids).collect()}
     assert got == truth
+
+
+def test_quantized_ann_recall_and_error(spark, vectors):
+    """int8 scalar quantization: recall@k vs exact float top-k stays
+    high, and the quantized cosine estimate is within ~1.5% absolute of
+    the true cosine (the 4x compression trade documented in ann.py)."""
+    import numpy as np
+    from rdf_rdfxml_spark.operators.ann import (
+        ann_quantized_topk, quantize_embeddings,
+    )
+    ids, v = vectors
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    k = 3
+    rows = ann_quantized_topk(load_embeddings(spark, SF_DIR), k=k).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    idx_of = {int(x): i for i, x in enumerate(ids)}
+    hits = total = 0
+    for qid, rs in by_q.items():
+        qi = idx_of[qid]
+        order = np.argsort(-sims[qi])
+        exact = [int(ids[j]) for j in order if j != qi][:k]
+        got = [r["neighbor_id"] for r in rs]
+        hits += len(set(got) & set(exact))
+        total += k
+        for r in rs:
+            true_cos = sims[qi, idx_of[r["neighbor_id"]]]
+            assert abs(r["qsim_r"] - true_cos) < 0.02
+    assert hits / total >= 0.8, f"quantized recall@{k} = {hits / total}"
+
+    # quantization invariants: int8 range, unit-norm preserved ~127
+    qrows = quantize_embeddings(load_embeddings(spark, SF_DIR)).collect()
+    for r in qrows[:50]:
+        qv = np.array(r["qv"])
+        assert np.abs(qv).max() <= 127
+        assert abs(np.sqrt((qv.astype(float) ** 2).sum()) - 127) < 2
