@@ -90,3 +90,23 @@ def test_integer_and_boolean_still_canonical():
     assert c("1", "boolean") == "true"
     assert c("0", "boolean") == "false"
     assert c("maybe", "boolean") == "maybe"
+
+
+def test_canonicalize_through_parse_path_never_kills_document():
+    """The round-2 ADVICE crash scenario end-to-end: a document carrying
+    an overflow xsd:double lexical parses fine under canonicalize=True
+    (the --canonicalize CLI flag) instead of raising out of the UDF."""
+    from rdf_rdfxml_spark.parser.grammar import parse_rdfxml
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:eg="http://example.org/">
+      <rdf:Description rdf:about="http://example.org/n">
+        <eg:p rdf:datatype="http://www.w3.org/2001/XMLSchema#double">1E999</eg:p>
+        <eg:q rdf:datatype="http://www.w3.org/2001/XMLSchema#double">-1E999</eg:q>
+        <eg:r rdf:datatype="http://www.w3.org/2001/XMLSchema#decimal">0.00</eg:r>
+      </rdf:Description>
+    </rdf:RDF>"""
+    triples, errors = parse_rdfxml(doc, base_uri="http://x/", doc_key="d",
+                                   strict=True, canonicalize=True)
+    assert errors == []
+    vals = {t[1].rsplit("/", 1)[-1]: t[2][1] for t in triples}
+    assert vals == {"p": "INF", "q": "-INF", "r": "0.0"}
