@@ -355,6 +355,42 @@ def q_kg_two_hop(spark, sf_dir):
     return hop1.join(hop2, "mid").select("doc", "origin")
 
 
+def q_kg_pagerank(spark, sf_dir):
+    # Fixed-iteration PageRank (5 rounds, d=0.85, per-round 1e-9
+    # rounding as the cross-engine float contract; dangling mass not
+    # redistributed — documented simplification that keeps the oracle
+    # an exact unrolled-CTE twin). Edge set: a deterministic synthetic
+    # link graph over the document IRIs (each doc links to two affine
+    # neighbors mod N) — derivable identically in SQL.
+    from rdf_rdfxml_spark.operators.graph import pagerank
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    edges = (docs.selectExpr(
+        "concat('d', doc_id) AS src",
+        f"concat('d', (doc_id * 7 + 1) % {n}) AS dst")
+        .unionByName(docs.selectExpr(
+            "concat('d', doc_id) AS src",
+            f"concat('d', (doc_id * 3 + 2) % {n}) AS dst")))
+    return (pagerank(edges)
+            .selectExpr("node", "round(rank, 6) AS rank_r"))
+
+
+def _pagerank_oracle() -> str:
+    from rdf_rdfxml_spark.operators.graph import pagerank_oracle_sql
+    edges = """
+      SELECT 'd' || CAST(doc_id AS VARCHAR) AS src,
+             'd' || CAST((doc_id * 7 + 1) %
+                  (SELECT COUNT(*) FROM documents) AS VARCHAR) AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'd' || CAST(doc_id AS VARCHAR),
+             'd' || CAST((doc_id * 3 + 2) %
+                  (SELECT COUNT(*) FROM documents) AS VARCHAR)
+      FROM documents"""
+    return ("SELECT node, ROUND(rank, 6) AS rank_r FROM ("
+            + pagerank_oracle_sql(edges) + ") t")
+
+
 def q_lineage_invariant(spark, sf_dir):
     # BASELINE per-row invariant: every triple's doc_sha == sha256(content)
     docs = _docs(spark, sf_dir).selectExpr(
@@ -936,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predicate_stats": q_predicate_stats,
         "kg_degree_stats": q_kg_degree_stats,
         "kg_two_hop": q_kg_two_hop,
+        "kg_pagerank": q_kg_pagerank,
         "lineage_invariant": q_lineage_invariant,
         "resume_pending_units": q_resume_pending_units,
         "extraction_metrics": q_extraction_metrics,
@@ -1203,6 +1240,8 @@ def oracle_sql() -> dict[str, str]:
 
         "kg_two_hop": _oracle_docs_cte(D.xml_nested_expr()) + """
     SELECT subj AS doc, source AS origin FROM d""",
+
+        "kg_pagerank": _pagerank_oracle(),
 
         "lineage_invariant": (
             f"WITH src AS (SELECT ({D.xml_basic_expr()}) AS content"

@@ -85,3 +85,82 @@ def components_oracle_sql(pairs_sql: str) -> str:
     comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
     SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
     FROM comp GROUP BY component"""
+
+
+def pagerank(edges: DataFrame, *, iters: int = 5, damping: float = 0.85,
+             round_dec: int = 9, checkpoint: bool = True) -> DataFrame:
+    """Fixed-iteration PageRank over directed ``edges(src, dst)`` →
+    ``(node, rank)``.
+
+    Simplified variant: dangling-node mass is NOT redistributed (ranks
+    then don't sum to 1 when sinks exist) — a deliberate, documented
+    choice that keeps the semantics exactly SQL-expressible so the
+    DuckDB oracle can unroll the same iterations as CTEs. Per-iteration
+    rounding to ``round_dec`` decimals is the cross-engine float
+    contract (same argument as ``ann.kmeans_cells``: nondeterministic
+    partial-sum order contributes ~1e-15, far below the grain, so both
+    engines converge to bit-identical ranks).
+
+    Scale shape: per iteration one join of ranks onto the (static,
+    persisted) edge+outdegree table and one groupBy(dst) partial+final
+    aggregate — narrow (node, double) rows only; ``localCheckpoint``
+    per round bounds the lineage (the iterative-algorithm footgun).
+    """
+    nodes = (edges.selectExpr("src AS node")
+             .unionByName(edges.selectExpr("dst AS node")).distinct())
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank needs a non-empty edge set")
+    teleport = (1.0 - damping) / n
+    ed = edges.join(edges.groupBy("src").agg(F.count("*").alias("deg")),
+                    "src").persist()
+    nodes = nodes.persist()
+    # init via Spark round (HALF_UP) — Python round() is banker's and
+    # could disagree with the oracle's ROUND on exact halves
+    ranks = nodes.withColumn(
+        "rank", F.expr(f"round(CAST(1.0 AS DOUBLE) / {n}, {round_dec})"))
+    for _ in range(iters):
+        contrib = (ed.join(ranks.withColumnRenamed("node", "src"), "src")
+                   .groupBy("dst")
+                   .agg(F.sum(F.expr("rank / deg")).alias("c")))
+        ranks = (nodes.join(contrib.withColumnRenamed("dst", "node"),
+                            "node", "left")
+                 .selectExpr(
+                     "node",
+                     f"round({teleport!r} + {damping!r} * "
+                     f"coalesce(c, CAST(0.0 AS DOUBLE)), {round_dec}) "
+                     "AS rank"))
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    ed.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def pagerank_oracle_sql(edges_sql: str, *, iters: int = 5,
+                        damping: float = 0.85, round_dec: int = 9) -> str:
+    """DuckDB twin of :func:`pagerank`: the same fixed iterations
+    unrolled as CTEs over ``edges_sql`` (a query yielding src, dst),
+    identical teleport constant and per-iteration rounding."""
+    parts = [f"""
+    e AS ({edges_sql}),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT node, ROUND(1.0 / (SELECT n FROM nn), {round_dec})
+             AS rank
+           FROM nodes)"""]
+    for i in range(iters):
+        parts.append(f"""
+    r{i + 1} AS (
+      SELECT nodes.node,
+             ROUND((1.0 - {damping!r}) / (SELECT n FROM nn)
+                   + {damping!r} * COALESCE(c.c, 0.0), {round_dec}) AS rank
+      FROM nodes
+      LEFT JOIN (
+        SELECT e.dst, SUM(r{i}.rank / deg.deg) AS c
+        FROM e JOIN deg ON deg.src = e.src
+               JOIN r{i} ON r{i}.node = e.src
+        GROUP BY e.dst) c ON c.dst = nodes.node)""")
+    return ("WITH" + ",".join(parts)
+            + f"\n    SELECT node, rank FROM r{iters}")

@@ -321,3 +321,34 @@ def test_containment_catches_embedded_document(spark):
                             - r["n_shared"])
     assert jacc < 0.35
     assert (1, 3) not in rows and (2, 3) not in rows
+
+
+def test_pagerank_properties(spark):
+    """Hand-checkable PageRank properties: a uniform ring keeps uniform
+    ranks; a star concentrates rank on the hub; dangling sinks leak mass
+    (the documented no-redistribution simplification)."""
+    from rdf_rdfxml_spark.operators.graph import pagerank
+    # ring: i -> (i+1) % 6 — perfectly symmetric, ranks stay 1/6
+    ring = spark.createDataFrame(
+        [(f"n{i}", f"n{(i + 1) % 6}") for i in range(6)],
+        "src string, dst string")
+    ranks = {r["node"]: r["rank"] for r in pagerank(ring).collect()}
+    assert len(ranks) == 6
+    assert all(abs(v - 1 / 6) < 1e-6 for v in ranks.values())
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6  # no dangling: sums to 1
+    # star: everyone links to hub, hub links back to n1
+    star = spark.createDataFrame(
+        [(f"s{i}", "hub") for i in range(1, 6)] + [("hub", "s1")],
+        "src string, dst string")
+    sr = {r["node"]: r["rank"] for r in pagerank(star).collect()}
+    assert sr["hub"] == max(sr.values())
+    assert sr["s1"] > sr["s2"]           # hub's back-link boosts s1
+    assert abs(sr["s2"] - sr["s5"]) < 1e-9  # symmetric leaves equal
+    # dangling sink: a -> b, b has no out-edges → total mass < 1
+    dangle = spark.createDataFrame([("a", "b")], "src string, dst string")
+    dr = {r["node"]: r["rank"] for r in pagerank(dangle).collect()}
+    assert dr["b"] > dr["a"]
+    assert sum(dr.values()) < 1.0
+    # determinism across runs
+    again = {r["node"]: r["rank"] for r in pagerank(star).collect()}
+    assert again == sr
