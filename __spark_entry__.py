@@ -719,6 +719,15 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    # Per-doc top-3 keywords by rational tf-idf (tf*N/df — exact in
+    # doubles, no libm-log parity seam). tf is computed with pure column
+    # exprs over distinct terms; only (doc_id, term, tf) rows reach the
+    # df aggregate and the top-k window.
+    from rdf_rdfxml_spark.operators.curation import tfidf_keywords
+    return tfidf_keywords(_docs(spark, sf_dir))
+
+
 def q_text_quality(spark, sf_dir):
     return _docs(spark, sf_dir).selectExpr(
         "doc_id",
@@ -994,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
+        "tfidf_keywords": q_tfidf_keywords,
         "text_quality": q_text_quality,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
@@ -1375,6 +1385,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_oracle(),
 
         "repetition_stats": _CUR.repetition_oracle_sql(),
+
+        "tfidf_keywords": _CUR.tfidf_oracle_sql(),
 
         "text_quality": """
     SELECT doc_id,

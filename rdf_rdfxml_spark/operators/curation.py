@@ -156,3 +156,72 @@ def repetition_oracle_sql(*, table: str = "documents") -> str:
        AND ROUND(list_sum(list_transform(ws, x -> len(x)))
            / CAST(n AS DOUBLE), 4) BETWEEN 2.0 AND 10.0) AS keep
     FROM g"""
+
+
+def tfidf_keywords(docs: DataFrame, *, k: int = 3) -> DataFrame:
+    """Per-document top-``k`` keywords by tf·idf with the RATIONAL idf
+    variant ``score = tf · N / df`` (no logarithm): libm ``log`` is not
+    guaranteed identically rounded across engines, while tf, N and df
+    are small integers whose product/quotient is exact in doubles — so
+    the driver gate stays bit-exact by construction. Ranking by a
+    monotone transform of log-idf ranking per fixed tf; the variant is
+    documented, not hidden.
+
+    Scale shape: term frequencies are computed per document with pure
+    column expressions (distinct terms + counts — no token-stream
+    groupBy); only the (doc_id, term, tf) rows — bounded by per-doc
+    vocabulary, not text length — reach the df aggregate and the top-k
+    window.
+
+    Output ``(doc_id, term, tf, df, score_r, rank)``.
+    """
+    n_docs = docs.count()
+    tf = docs.selectExpr(
+        "doc_id",
+        "split(text, ' ') AS ws",
+    ).selectExpr(
+        "doc_id",
+        "explode(transform(array_distinct(ws), "
+        "w -> struct(w AS term, size(filter(ws, x -> x = w)) AS tf))) "
+        "AS t",
+    ).selectExpr("doc_id", "t.term AS term", "t.tf AS tf") \
+     .filter("term != ''")
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term"))
+    return (tf.join(df, "term")
+            .selectExpr(
+                "doc_id", "term", "CAST(tf AS BIGINT) AS tf",
+                "CAST(df AS BIGINT) AS df",
+                f"CAST(tf AS DOUBLE) * {n_docs} / df AS score")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .selectExpr("doc_id", "term", "tf", "df",
+                        "round(score, 4) AS score_r",
+                        "CAST(rank AS BIGINT) AS rank"))
+
+
+def tfidf_oracle_sql(*, k: int = 3, table: str = "documents") -> str:
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM {table}),
+    tf AS (
+      SELECT doc_id, t.term, t.tf
+      FROM w, UNNEST(list_transform(list_distinct(ws),
+        u -> struct_pack(term := u,
+                         tf := len(list_filter(ws, x -> x = u))))) AS u(t)
+      WHERE t.term != ''),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM {table}),
+    s AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) * (SELECT n_docs FROM n) / df.df
+               AS score
+      FROM tf JOIN df USING (term)),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS rnk
+          FROM s)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df, ROUND(score, 4) AS score_r,
+           CAST(rnk AS BIGINT) AS rank
+    FROM r WHERE rnk <= {k}"""

@@ -352,3 +352,24 @@ def test_pagerank_properties(spark):
     # determinism across runs
     again = {r["node"]: r["rank"] for r in pagerank(star).collect()}
     assert again == sr
+
+
+def test_tfidf_keywords_semantics(spark):
+    """Rational tf-idf (tf*N/df): a term unique to one doc outranks a
+    corpus-wide term regardless of tf; deterministic tie-break."""
+    from rdf_rdfxml_spark.operators.curation import tfidf_keywords
+    df = spark.createDataFrame(
+        [(1, "common common common unique1"),
+         (2, "common zebra zebra"),
+         (3, "common apple")],
+        "doc_id long, text string")
+    rows = {(r["doc_id"], r["rank"]): r
+            for r in tfidf_keywords(df, k=2).collect()}
+    # doc 1: unique1 df=1 → score 1*3/1=3 beats common tf=3 df=3 → 3*3/3=3
+    # tie at 3.0 → term ASC picks 'common' first
+    assert rows[(1, 1)]["term"] == "common"
+    assert rows[(1, 2)]["term"] == "unique1"
+    assert rows[(1, 1)]["score_r"] == rows[(1, 2)]["score_r"] == 3.0
+    # doc 2: zebra tf=2 df=1 → 6.0 beats common 1.0
+    assert rows[(2, 1)]["term"] == "zebra" and rows[(2, 1)]["score_r"] == 6.0
+    assert rows[(3, 1)]["term"] == "apple" and rows[(3, 1)]["score_r"] == 3.0
