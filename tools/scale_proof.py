@@ -161,6 +161,17 @@ def main():
             2, lambda d=docs: winnow_fingerprints(d).count())
         out[f"winnow_{label}_sec"] = wall
         out[f"winnow_{label}_fps"] = fps
+
+        from rdf_rdfxml_spark.operators.curation import tfidf_keywords
+        from rdf_rdfxml_spark.operators.sketch import containment_pairs
+        wall, pairs = best_of(
+            2, lambda d=docs: containment_pairs(d).count())
+        out[f"containment_{label}_sec"] = wall
+        out[f"containment_{label}_pairs"] = pairs
+        wall, kws = best_of(
+            2, lambda d=docs: tfidf_keywords(d).count())
+        out[f"tfidf_{label}_sec"] = wall
+        out[f"tfidf_{label}_rows"] = kws
         docs.unpersist()
 
     # ---- trained-IVF embedding dedup: n_cells follows sqrt(N) ----
@@ -179,7 +190,7 @@ def main():
 
     # headline ratios (10x work in <= ~10x time = linear or better)
     for k in ("kg", "minhash", "verify", "components", "simhash",
-              "winnow", "ivf_dedup"):
+              "winnow", "containment", "tfidf", "ivf_dedup"):
         a, b = out.get(f"{k}_1x_sec"), out.get(f"{k}_10x_sec")
         if a and b:
             out[f"{k}_time_ratio_10x"] = round(b / a, 2)
