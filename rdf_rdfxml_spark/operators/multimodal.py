@@ -230,25 +230,37 @@ def decode_png(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes, *, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
-    Real decoders: PPM (P6), 24-bit BMP, and PNG (8-bit gray/RGB/RGBA,
-    all five scanline filters, stdlib zlib), dispatched on magic bytes.
-    JPEG needs a DCT codec library absent from this container — the one
-    remaining declared seam: it raises ``NotImplementedError`` unless
-    ``fake=True`` selects the deterministic pseudo-pixel decoder (stable
-    pixels seeded by the payload sha256) so downstream plumbing is
-    testable with any bytes.
+    Real decoders: PPM (P6), 24-bit BMP, PNG (8-bit gray/RGB/RGBA, all
+    five scanline filters, stdlib zlib), GIF (full LZW), and baseline
+    JPEG, dispatched on magic bytes. Typed-error contract: malformed
+    payloads of a RECOGNIZED format always raise ``DecodeError`` (any
+    internal slip — IndexError on a truncated header, ValueError on a
+    non-numeric field — is wrapped), unknown formats raise
+    ``NotImplementedError`` unless ``fake=True`` selects the
+    deterministic pseudo-pixel decoder (stable pixels seeded by the
+    payload sha256) so downstream plumbing is testable with any bytes.
     """
+    decoder = None
     if payload[:2] == b"P6":
-        return decode_ppm(payload)
-    if payload[:2] == b"BM":
-        return decode_bmp(payload)
-    if payload[:8] == PNG_SIG:
-        return decode_png(payload)
-    if payload[:6] in GIF_SIGS:
-        return decode_gif(payload)
-    if payload[:3] == b"\xff\xd8\xff":
+        decoder = decode_ppm
+    elif payload[:2] == b"BM":
+        decoder = decode_bmp
+    elif payload[:8] == PNG_SIG:
+        decoder = decode_png
+    elif payload[:6] in GIF_SIGS:
+        decoder = decode_gif
+    elif payload[:3] == b"\xff\xd8\xff":
         from .jpeg import decode_jpeg
-        return decode_jpeg(payload)
+        decoder = decode_jpeg
+    if decoder is not None:
+        try:
+            return decoder(payload)
+        except DecodeError:
+            raise
+        except Exception as e:
+            raise DecodeError(
+                f"malformed {decoder.__name__[7:]} payload: "
+                f"{type(e).__name__}: {e}") from e
     if not fake:
         raise NotImplementedError(
             "no codec for this image format in this environment "

@@ -105,3 +105,51 @@ def test_external_entities_never_fetched():
     values = [o[1] for _s, _p, o in triples]
     assert not any("root:" in v for v in values)
     assert values in ([""], [])  # substituted empty or rejected, never read
+
+
+# --- codec fuzzing -----------------------------------------------------------
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_decode_image_typed_errors_on_arbitrary_bytes(data):
+    """decode_image's typed-error contract: any byte string either
+    decodes, raises DecodeError (recognized-but-malformed), or raises
+    NotImplementedError (unknown format) — never anything else."""
+    from rdf_rdfxml_spark.operators.multimodal import (
+        DecodeError, decode_image,
+    )
+    try:
+        img = decode_image(data)
+        assert img.ndim == 3 and img.shape[2] == 3
+    except (DecodeError, NotImplementedError):
+        pass
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.data())
+def test_decode_image_typed_errors_on_corrupted_valid_payloads(data):
+    """Bit-flipped/truncated VALID payloads of every supported format
+    stay inside the typed-error contract."""
+    import numpy as np
+    from rdf_rdfxml_spark.operators.jpeg import encode_jpeg
+    from rdf_rdfxml_spark.operators.multimodal import (
+        DecodeError, decode_image, encode_gif, encode_png, encode_ppm,
+    )
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(6, 7, 3), dtype=np.uint8)
+    payloads = [encode_ppm(img), encode_png(img), encode_gif(img),
+                encode_jpeg(img)]
+    payload = bytearray(data.draw(st.sampled_from(payloads)))
+    mode = data.draw(st.sampled_from(["flip", "truncate", "insert"]))
+    if mode == "flip":
+        i = data.draw(st.integers(0, len(payload) - 1))
+        payload[i] ^= data.draw(st.integers(1, 255))
+    elif mode == "truncate":
+        payload = payload[:data.draw(st.integers(0, len(payload) - 1))]
+    else:
+        i = data.draw(st.integers(0, len(payload)))
+        payload[i:i] = bytes([data.draw(st.integers(0, 255))])
+    try:
+        decode_image(bytes(payload))
+    except (DecodeError, NotImplementedError):
+        pass
