@@ -719,6 +719,14 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def q_vocab_stats(spark, sf_dir):
+    # Corpus Zipf-head profile: top-20 terms by document frequency with
+    # total term frequency — one vocab-keyed aggregate fed by per-doc
+    # distinct-term rows (no token-stream shuffle).
+    from rdf_rdfxml_spark.operators.curation import vocab_stats
+    return vocab_stats(_docs(spark, sf_dir))
+
+
 def q_tfidf_keywords(spark, sf_dir):
     # Per-doc top-3 keywords by rational tf-idf (tf*N/df — exact in
     # doubles, no libm-log parity seam). tf is computed with pure column
@@ -1004,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "tfidf_keywords": q_tfidf_keywords,
+        "vocab_stats": q_vocab_stats,
         "text_quality": q_text_quality,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
@@ -1387,6 +1396,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _CUR.repetition_oracle_sql(),
 
         "tfidf_keywords": _CUR.tfidf_oracle_sql(),
+
+        "vocab_stats": _CUR.vocab_oracle_sql(),
 
         "text_quality": """
     SELECT doc_id,

@@ -158,6 +158,52 @@ def repetition_oracle_sql(*, table: str = "documents") -> str:
     FROM g"""
 
 
+def vocab_stats(docs: DataFrame, *, k: int = 20) -> DataFrame:
+    """Corpus vocabulary statistics: the top-``k`` terms by document
+    frequency with total term frequency — the Zipf-head profile a corpus
+    audit starts from. Same no-token-stream-shuffle shape as
+    :func:`tfidf_keywords`: per-doc (term, tf) rows from distinct-term
+    column expressions feed ONE vocab-keyed aggregate.
+
+    Output ``(term, df, tf_total, rank)`` ordered by (df DESC, term).
+    """
+    from pyspark.sql import Window
+    tf = docs.selectExpr(
+        "doc_id", "split(text, ' ') AS ws",
+    ).selectExpr(
+        "doc_id",
+        "explode(transform(array_distinct(ws), "
+        "w -> struct(w AS term, size(filter(ws, x -> x = w)) AS tf))) "
+        "AS t",
+    ).selectExpr("t.term AS term", "t.tf AS tf").filter("term != ''")
+    agg = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("tf_total"))
+    w = Window.orderBy(F.desc("df"), F.asc("term"))
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .selectExpr("term", "df", "tf_total",
+                        "CAST(rank AS BIGINT) AS rank"))
+
+
+def vocab_oracle_sql(*, k: int = 20, table: str = "documents") -> str:
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM {table}),
+    tf AS (
+      SELECT t.term, t.tf
+      FROM w, UNNEST(list_transform(list_distinct(ws),
+        u -> struct_pack(term := u,
+                         tf := len(list_filter(ws, x -> x = u))))) AS u(t)
+      WHERE t.term != ''),
+    agg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(SUM(tf) AS BIGINT) AS tf_total
+            FROM tf GROUP BY term),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rnk
+          FROM agg)
+    SELECT term, df, tf_total, CAST(rnk AS BIGINT) AS rank
+    FROM r WHERE rnk <= {k}"""
+
+
 def tfidf_keywords(docs: DataFrame, *, k: int = 3) -> DataFrame:
     """Per-document top-``k`` keywords by tf·idf with the RATIONAL idf
     variant ``score = tf · N / df`` (no logarithm): libm ``log`` is not

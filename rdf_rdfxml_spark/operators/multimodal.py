@@ -513,9 +513,11 @@ def synth_video(spark, n: int = 8, frames: int = 12) -> DataFrame:
 
 
 def decode_wav(payload: bytes) -> tuple:
-    """RIFF/WAVE PCM (8/16-bit) → (samples int16 ndarray [n, channels],
-    sample_rate). Pure Python — the uncompressed audio format needs no
-    codec library (compressed audio stays the declared seam)."""
+    """RIFF/WAVE → (samples int16 ndarray [n, channels], sample_rate).
+    PCM (8/16-bit) plus the compressed codecs G.711 mu-law/A-law and
+    mono IMA ADPCM. Typed-error contract like :func:`decode_image`: a
+    malformed RIFF payload raises ``DecodeError``, never anything else
+    (internal slips are wrapped by :func:`_decode_wav_checked`)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise DecodeError("not a RIFF/WAVE payload")
     pos, fmt, data, fact = 12, None, None, None
@@ -565,6 +567,18 @@ def decode_wav(payload: bytes) -> tuple:
         return samples[:, None], rate
     raise DecodeError(
         f"unsupported WAV (format={audio_format}, bits={bits})")
+
+
+def _decode_wav_checked(payload: bytes) -> tuple:
+    """decode_wav with the typed-error guarantee (any internal slip on a
+    malformed-but-RIFF payload becomes DecodeError)."""
+    try:
+        return decode_wav(payload)
+    except DecodeError:
+        raise
+    except Exception as e:
+        raise DecodeError(
+            f"malformed WAV payload: {type(e).__name__}: {e}") from e
 
 
 def _mulaw_decode(b: np.ndarray) -> np.ndarray:
@@ -758,7 +772,7 @@ def audio_features(media: DataFrame, *,
                                     pdf[payload_col].values):
                 out["media_id"].append(mid)
                 try:
-                    samples, rate = decode_wav(bytes(payload or b""))
+                    samples, rate = _decode_wav_checked(bytes(payload or b""))
                     out["duration_ms"].append(
                         int(samples.shape[0] * 1000 // rate))
                     out["rms"].append(round(float(np.sqrt(

@@ -153,3 +153,36 @@ def test_decode_image_typed_errors_on_corrupted_valid_payloads(data):
         decode_image(bytes(payload))
     except (DecodeError, NotImplementedError):
         pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_decode_wav_typed_errors(data):
+    """WAV typed-error contract: arbitrary bytes and corrupted valid
+    payloads (all four codecs) decode or raise DecodeError only."""
+    import numpy as np
+    from rdf_rdfxml_spark.operators.multimodal import (
+        DecodeError, _decode_wav_checked, encode_wav,
+        encode_wav_compressed,
+    )
+    rng = np.random.default_rng(23)
+    s = rng.integers(-20000, 20000, size=300).astype(np.int16)
+    valid = [encode_wav(s.reshape(-1, 1), 8000)] + [
+        encode_wav_compressed(s.reshape(-1, 1), 8000, c)
+        for c in ("mulaw", "alaw", "adpcm")]
+    if data.draw(st.booleans()):
+        payload = bytearray(data.draw(st.sampled_from(valid)))
+        mode = data.draw(st.sampled_from(["flip", "truncate"]))
+        if mode == "flip":
+            i = data.draw(st.integers(0, len(payload) - 1))
+            payload[i] ^= data.draw(st.integers(1, 255))
+        else:
+            payload = payload[:data.draw(st.integers(0, len(payload) - 1))]
+        payload = bytes(payload)
+    else:
+        payload = data.draw(st.binary(max_size=200))
+    try:
+        samples, rate = _decode_wav_checked(payload)
+        assert samples.ndim == 2 and rate >= 0
+    except DecodeError:
+        pass
