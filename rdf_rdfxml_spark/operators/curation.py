@@ -166,6 +166,13 @@ def vocab_stats(docs: DataFrame, *, k: int = 20) -> DataFrame:
     column expressions feed ONE vocab-keyed aggregate.
 
     Output ``(term, df, tf_total, rank)`` ordered by (df DESC, term).
+
+    Top-k shape: a bounded sort (``orderBy().limit(k)`` → Spark's
+    ``TakeOrderedAndProject``, a per-partition partial top-k merged on
+    the driver) instead of an unpartitioned ``row_number`` window, which
+    would funnel the ENTIRE vocabulary aggregate through one task at
+    corpus scale (round-3 ADVICE). Ranks are then assigned over just the
+    k surviving rows.
     """
     from pyspark.sql import Window
     tf = docs.selectExpr(
@@ -179,9 +186,9 @@ def vocab_stats(docs: DataFrame, *, k: int = 20) -> DataFrame:
     agg = tf.groupBy("term").agg(
         F.count("*").cast("long").alias("df"),
         F.sum("tf").cast("long").alias("tf_total"))
+    top = agg.orderBy(F.desc("df"), F.asc("term")).limit(k)
     w = Window.orderBy(F.desc("df"), F.asc("term"))
-    return (agg.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+    return (top.withColumn("rank", F.row_number().over(w))
             .selectExpr("term", "df", "tf_total",
                         "CAST(rank AS BIGINT) AS rank"))
 

@@ -55,6 +55,15 @@ class DecodeError(ValueError):
     """Malformed image payload (→ per-item error channel)."""
 
 
+# Executor-safety bound for decoded rasters: a hostile header can declare
+# ~2^31×2^31 pixels and a ~1000:1 deflate / runaway LZW payload can expand
+# far past its wire size — either would OOM the executor *before* the
+# typed-error/per-item-isolation contract can catch it. 64M pixels
+# (192 MB RGB) comfortably covers real training images while keeping a
+# single item's decode memory bounded.
+MAX_PIXELS = 64 * 1024 * 1024
+
+
 def decode_ppm(payload: bytes) -> np.ndarray:
     """Binary PPM (P6, maxval ≤ 255) → HxWx3 uint8 array. Pure Python —
     no codec dependency."""
@@ -185,14 +194,24 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"interlace={interlace})")
     if w <= 0 or h <= 0 or not idat:
         raise DecodeError("bad PNG geometry or no IDAT")
+    if w * h > MAX_PIXELS:
+        raise DecodeError(f"PNG raster {w}x{h} exceeds {MAX_PIXELS} px cap")
     ch = {0: 1, 2: 3, 6: 4}[ct]
+    stride = w * ch
+    expected = (stride + 1) * h
+    # Bounded inflate (round-3 ADVICE): cap the output at the declared
+    # raster size so a decompression bomb raises DecodeError instead of
+    # exhausting executor memory mid-inflate.
     try:
-        raw = zlib.decompress(b"".join(idat))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expected + 1)
     except zlib.error as e:
         raise DecodeError(f"PNG IDAT inflate failed: {e}") from None
-    stride = w * ch
-    if len(raw) != (stride + 1) * h:
-        raise DecodeError(f"PNG raster size {len(raw)} != {(stride + 1) * h}")
+    if len(raw) > expected or dec.unconsumed_tail:
+        raise DecodeError(
+            f"PNG IDAT inflates past declared raster size {expected}")
+    if len(raw) != expected:
+        raise DecodeError(f"PNG raster size {len(raw)} != {expected}")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
@@ -420,20 +439,63 @@ def split_ppm_frames(payload: bytes) -> list:
 
 
 def split_mjpeg_frames(payload: bytes) -> list[bytes]:
-    """Raw MJPEG stream (concatenated baseline JPEG frames) → frame
-    payload list. Safe boundary scan: inside entropy-coded data 0xFF is
-    always followed by 0x00 (byte stuffing) or an RST marker, so a bare
-    SOI→EOI span delimits exactly one frame."""
+    """Raw MJPEG stream (concatenated JPEG frames) → frame payload list.
+
+    Byte stuffing only protects *entropy-coded* data — a DQT quant value
+    of 255 followed by 0xD9 (quality < ~15) or a DHT symbol byte pair can
+    spell a bare 0xFFD9 inside a marker segment (round-3 ADVICE). So walk
+    marker segments by their declared 2-byte lengths and only scan for
+    the EOI inside entropy data, where ``FF 00`` stuffing and RST markers
+    are the exhaustive non-marker cases.
+    """
     frames = []
+    n = len(payload)
     pos = 0
-    while pos < len(payload):
+    while pos < n:
         if payload[pos:pos + 2] != b"\xff\xd8":
             raise DecodeError(f"MJPEG frame boundary expected at {pos}")
-        end = payload.find(b"\xff\xd9", pos + 2)
-        if end < 0:
-            raise DecodeError("MJPEG frame without EOI")
-        frames.append(payload[pos:end + 2])
-        pos = end + 2
+        start = pos
+        pos += 2
+        while True:  # marker-segment walk for one frame
+            while pos + 1 < n and payload[pos] == 0xFF \
+                    and payload[pos + 1] == 0xFF:
+                pos += 1  # fill byte
+            if pos + 2 > n or payload[pos] != 0xFF:
+                raise DecodeError(f"MJPEG marker expected at byte {pos}")
+            m = payload[pos + 1]
+            if m == 0xD9:  # EOI — frame complete
+                pos += 2
+                break
+            if m == 0xD8:
+                raise DecodeError("nested SOI inside MJPEG frame")
+            if 0xD0 <= m <= 0xD7 or m == 0x01:  # RSTn/TEM: no payload
+                pos += 2
+                continue
+            if pos + 4 > n:
+                raise DecodeError("truncated MJPEG segment header")
+            seglen = int.from_bytes(payload[pos + 2:pos + 4], "big")
+            if seglen < 2 or pos + 2 + seglen > n:
+                raise DecodeError(f"bad MJPEG segment length {seglen}")
+            is_sos = m == 0xDA
+            pos += 2 + seglen
+            if not is_sos:
+                continue
+            # entropy-coded data: FF 00 is stuffing, FF D0-D7 restart;
+            # any other FF xx is a real marker (EOI, or the next scan's
+            # header in a progressive frame) — hand back to the walk.
+            while True:
+                idx = payload.find(b"\xff", pos)
+                if idx < 0 or idx + 1 >= n:
+                    raise DecodeError("MJPEG frame without EOI")
+                nxt = payload[idx + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                    pos = idx + 2
+                elif nxt == 0xFF:
+                    pos = idx + 1
+                else:
+                    pos = idx
+                    break
+        frames.append(payload[start:pos])
     if not frames:
         raise DecodeError("empty MJPEG stream")
     return frames
@@ -921,6 +983,8 @@ def decode_gif(payload: bytes) -> np.ndarray:
         pos += 10
         if iflags & 0x40:
             raise DecodeError("interlaced GIF unsupported")
+        if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+            raise DecodeError(f"GIF raster {w}x{h} outside pixel cap")
         pal = gct
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)
@@ -978,6 +1042,11 @@ def decode_gif(payload: bytes) -> np.ndarray:
             else:
                 raise DecodeError(f"bad LZW code {code}")
             out += entry
+            if len(out) > w * h:
+                # runaway LZW (round-3 ADVICE): stop at the declared raster
+                # size instead of expanding a hostile stream unbounded
+                raise DecodeError(
+                    f"GIF LZW output exceeds raster size {w * h}")
             if prev is not None and len(table) < 4096:
                 table.append(prev + entry[:1])
             if len(table) >= (1 << width) and width < 12:

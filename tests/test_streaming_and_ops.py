@@ -603,3 +603,93 @@ def test_mjpeg_frame_split_and_decode():
     import pytest as _pt
     _pt.raises(DecodeError, split_mjpeg_frames, payload[:-2])  # no EOI
     _pt.raises(DecodeError, split_mjpeg_frames, b"junk" + payload)
+
+
+def test_mjpeg_split_survives_marker_payload_ffd9():
+    """A bare FF D9 inside a marker SEGMENT (not entropy data) must not
+    terminate the frame: byte stuffing only protects entropy-coded data,
+    so a DQT quant value 255 followed by 0xD9 — or, as built here, a COM
+    segment containing FF D9 — defeats a raw find() scan (round-3
+    ADVICE). The segment-walking splitter reads past it."""
+    import numpy as np
+
+    from rdf_rdfxml_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from rdf_rdfxml_spark.operators.multimodal import split_mjpeg_frames
+    rng = np.random.default_rng(9)
+    imgs = [rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+            for _ in range(3)]
+
+    def with_trap(jpg: bytes) -> bytes:
+        # inject a COM segment whose payload spells FF D9 right after SOI
+        com = b"\xff\xfe" + (2 + 4).to_bytes(2, "big") + b"x\xff\xd9y"
+        return jpg[:2] + com + jpg[2:]
+
+    payload = b"".join(with_trap(encode_jpeg(im, quality=90))
+                       for im in imgs)
+    fs = split_mjpeg_frames(payload)
+    assert len(fs) == 3
+    for f, im in zip(fs, imgs):
+        dec = decode_jpeg(f)
+        assert dec.shape == (6, 8, 3)
+        assert np.abs(dec.astype(int) - im.astype(int)).mean() < 60
+
+
+def test_image_decoders_bound_hostile_expansion():
+    """Decompression bombs raise DecodeError BEFORE allocating the
+    expanded output (round-3 ADVICE): PNG inflate is capped at the
+    declared raster size, GIF LZW stops once output exceeds w*h, and
+    absurd declared dimensions hit the MAX_PIXELS cap up front."""
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from rdf_rdfxml_spark.operators.multimodal import (
+        DecodeError, decode_gif, decode_png, encode_gif, encode_png,
+    )
+
+    def chunk(t, d):
+        return (len(d).to_bytes(4, "big") + t + d
+                + (zlib.crc32(t + d) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    # 2x2 RGB PNG whose IDAT inflates to ~10 MB (a ~50000:1 bomb)
+    ihdr = ((2).to_bytes(4, "big") + (2).to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))
+    bomb = zlib.compress(b"\x00" * 10_000_000, 9)
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+    with pytest.raises(DecodeError, match="inflates past"):
+        decode_png(payload)
+
+    # declared dimensions beyond the pixel cap fail before allocation
+    huge = ((60000).to_bytes(4, "big") + (60000).to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", huge)
+               + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b""))
+    with pytest.raises(DecodeError, match="pixel|cap"):
+        decode_png(payload)
+
+    # GIF: shrink the declared raster of a real 4x4 image to 2x2 — the
+    # LZW stream now over-produces and must stop at the bound
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    g = bytearray(encode_gif(img))
+    # image descriptor starts after header(6)+screen(7)+global color table
+    i = 13 + 3 * (2 << (g[10] & 0x07)) if g[10] & 0x80 else 13
+    assert g[i] == 0x2C
+    g[i + 5:i + 7] = (2).to_bytes(2, "little")
+    g[i + 7:i + 9] = (2).to_bytes(2, "little")
+    with pytest.raises(DecodeError, match="exceeds raster"):
+        decode_gif(bytes(g))
+
+
+def test_xsd_rejects_nonascii_digits():
+    """Non-ASCII Unicode digits are not valid XSD lexical forms — they
+    pass through unchanged instead of being 'canonicalized' (round-3
+    ADVICE: bare \\d and str.isdigit both accept them)."""
+    from rdf_rdfxml_spark.functions.xsd import XSD, canonicalize_literal
+    for value in ("١٢٣", "0٣", "١.5", "+٣"):
+        for dt in ("integer", "decimal", "double"):
+            assert canonicalize_literal(value, XSD + dt) == value
+    # ASCII forms still canonicalize
+    assert canonicalize_literal("007", XSD + "integer") == "7"
+    assert canonicalize_literal("00.50", XSD + "decimal") == "0.5"
