@@ -168,23 +168,28 @@ def main():
     kg_skew = skew_ratio(extract(_bench_docs(spark, sf_dir, replicate)))
 
     headline = ["rdfxml_extract_basic", "rdfxml_reification",
-                "rdfxml_error_channel", "triples_dedup_global",
+                "rdfxml_error_channel", "rdfxml_write",
+                "triples_dedup_global",
                 "entity_linking", "entity_linking_salted", "dedup_exact",
                 "minhash_lsh", "dedup_verified_pairs", "simhash",
                 "ann_cosine_topk", "ann_lsh_bucketed",
                 "dedup_embedding_bucketed", "text_quality",
                 "events_windowed"]
-    qmap = E.queries()
+    qmap = {**E.queries(), **E.extra_queries()}  # simhash/write are extras
+    # Per-attempt samples go to stderr so a committed bench log carries
+    # the dispersion evidence (round-3 verdict: the quiet-window claims
+    # for the regressed entries existed only as prose). N via env.
+    attempts = int(os.environ.get("SPARK_GRAFT_BENCH_N", "2"))
+    rows_of = {}
     for name in headline:
-        best = None
-        for _ in range(2):
+        samples = []
+        for _ in range(attempts):
             t0 = time.time()
-            qmap[name](spark, sf_dir).count()
-            dt = time.time() - t0
-            if best is None or dt < best:
-                best = dt
-        queries[name] = round(best, 3)
-        print(f"[bench] {name}: {queries[name]}s", file=sys.stderr)
+            rows_of[name] = qmap[name](spark, sf_dir).count()
+            samples.append(time.time() - t0)
+        queries[name] = round(min(samples), 3)
+        print(f"[bench] {name}: {queries[name]}s  samples="
+              f"{[round(s, 2) for s in samples]}", file=sys.stderr)
 
     total = round(time.time() - t_all0, 3)
     print(json.dumps({
@@ -197,6 +202,8 @@ def main():
         "kg_triples_per_sec": round(kg_rate),
         "kg_skew_ratio_docs_per_partition": round(kg_skew, 3),
         "kg_docs_per_sec": round(kg_rate / 5),  # 5 triples per bench doc
+        "write_docs_per_sec": round(rows_of["rdfxml_write"]
+                                    / queries["rdfxml_write"]),
         "cpus": cpus,
     }))
     spark.stop()

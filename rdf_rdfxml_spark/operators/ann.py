@@ -58,6 +58,39 @@ def load_embeddings(spark, sf_dir: str, *, spread: bool = True) -> DataFrame:
     return emb
 
 
+def with_neardup_twins(emb: DataFrame, *, n_twins: int = 50,
+                       id_offset: int = 100000,
+                       mix: float = 0.05) -> DataFrame:
+    """Append deterministic near-duplicate twins: for the ``n_twins``
+    lowest vec_ids, a twin ``id_offset`` away with vector
+    ``(1-mix)·v_i + mix·v[0]`` elementwise (cosine ≈ 0.999 to its
+    original). The synthetic corpus has NO pairs above cosine 0.7, so
+    production-threshold dedup (0.7–0.9, the regime a real pipeline
+    runs at) would be vacuously green without these; the same twins are
+    SQL-expressible, so the driver oracle reproduces them bit-exactly
+    (same IEEE multiply-add order both engines)."""
+    lo, hi = 1.0 - mix, mix
+    twins = emb.filter(f"vec_id < {n_twins}").selectExpr(
+        f"vec_id + {id_offset} AS vec_id",
+        f"transform(v, x -> CAST({lo} AS DOUBLE) * x"
+        f" + CAST({hi} AS DOUBLE) * v[0]) AS v")
+    return emb.unionByName(twins)
+
+
+def neardup_twins_table_sql(*, n_twins: int = 50, id_offset: int = 100000,
+                            mix: float = 0.05,
+                            table: str = "embeddings") -> str:
+    """DuckDB twin-corpus subquery (columns ``vec_id, embedding``) —
+    pass as the ``table`` argument of the oracle builders."""
+    lo, hi = 1.0 - mix, mix
+    return f"""(SELECT vec_id, embedding FROM {table}
+    UNION ALL
+    SELECT vec_id + {id_offset},
+           list_transform(embedding::DOUBLE[],
+             x -> {lo}::DOUBLE * x + {hi}::DOUBLE * (embedding::DOUBLE[])[1])
+    FROM {table} WHERE vec_id < {n_twins}) _twinned"""
+
+
 def ivf_assign(emb: DataFrame, *, n_cells: int = 8,
                nprobe: int = 1, centroids: list | None = None) -> DataFrame:
     """(vec_id, v) → (vec_id, v, cell_id), one row per probed cell.

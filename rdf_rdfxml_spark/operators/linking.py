@@ -84,6 +84,8 @@ def encode_triples(
     broadcast_threshold: int | None = 10_000_000,
     salt_factor: int = 0,
     dict_count: int | None = None,
+    hot_keys: list[str] | None = None,
+    hot_support: float = 0.05,
 ) -> DataFrame:
     """Encode (s, p, o) to (s_id, p_id, o_id) via the term dictionary.
 
@@ -95,11 +97,23 @@ def encode_triples(
     ``dict_count`` when the caller already knows the cardinality (skips the
     probe job), or ``None`` threshold to force the shuffle path.
 
-    ``salt_factor > 0``: salted repartition join for the skewed non-broadcast
-    case — the dictionary side is replicated ``salt_factor`` ways, the fact
-    side picks ``pmod(xxhash64(key, partition-entropy), salt_factor)`` —
-    so one hot key (``rdf:type``-grade skew) spreads over ``salt_factor``
-    reducers. Used automatically (factor 8) on broadcast fall-through.
+    ``salt_factor > 0``: HOT-KEY-TARGETED salted join for the skewed
+    non-broadcast case. Only heavy-hitter keys are salted: the probe side
+    gives hot rows a row-derived salt in ``[0, salt_factor)`` and the
+    build side replicates ONLY the hot keys' dictionary rows
+    ``salt_factor`` ways (everything else keeps salt 0) — so one hot key
+    (``rdf:type``-grade skew) spreads over ``salt_factor`` reducers while
+    the dictionary shuffle stays ≈1×. Salting the WHOLE build side — the
+    naive variant — was measured 3.5× slower than the unsalted join on a
+    90%-hot 2M-row corpus, because it ships ``salt_factor`` copies of a
+    multi-million-term dictionary through all three joins (PERF.md §18).
+
+    ``hot_keys``: explicit heavy-hitter term keys; when ``None`` they are
+    detected with one ``freqItems`` pass (lossy counting, no shuffle)
+    at ``hot_support`` frequency. The detected set only shapes the
+    physical distribution — the join RESULT is identical for any hot
+    set, so approximate detection is safe. Used automatically (factor 8)
+    on broadcast fall-through.
     """
     dict_slim = dictionary.select(
         "term_id", term_key(F.col("kind"), F.col("value"),
@@ -159,8 +173,30 @@ def encode_triples(
         return out.drop("_sk", "_pk", "_ok")
 
     if salt_factor > 0:
+        if hot_keys is None:
+            # one lossy-counting pass (no shuffle); false positives just
+            # salt a few extra keys — the join result is distribution-
+            # invariant, so approximate detection cannot affect values
+            freq = fact.stat.freqItems(["_sk", "_pk", "_ok"],
+                                       support=hot_support).first()
+            hot_keys = sorted(set(freq[0]) | set(freq[1]) | set(freq[2]))
+        if hot_keys:
+            # isin compiles to InSet (hash lookup) above ~10 literals; an
+            # array_contains literal array is a per-row LINEAR string scan
+            # and measurably slowed every probe task (PERF.md §18)
+            _keys = list(hot_keys)
+
+            def _is_hot(col):
+                return F.col(col).isin(_keys)
+        else:
+            def _is_hot(col):
+                return F.lit(False)
+        # build side: replicate ONLY hot terms salt_factor ways
         d_salted = dict_slim.withColumn(
-            "salt", F.explode(F.array(*[F.lit(i) for i in range(salt_factor)])))
+            "salt", F.explode(F.when(
+                _is_hot("tk"),
+                F.array(*[F.lit(i) for i in range(salt_factor)]))
+                .otherwise(F.array(F.lit(0)))))
         out = fact
         for pos, key_col in (("s_id", "_sk"), ("p_id", "_pk"), ("o_id", "_ok")):
             # The salt must vary WITHIN a hot key or it spreads nothing:
@@ -168,12 +204,15 @@ def encode_triples(
             # row — no rand(), so task retries stay idempotent), not from
             # the join key alone. (A key-derived salt maps every row of
             # the hot key to one shard — the exact skew it exists to fix;
-            # caught by test_salted_join_spreads_hot_key.)
+            # caught by test_salted_join_spreads_hot_key.) Non-hot rows
+            # keep salt 0 and meet the single un-replicated build copy.
             probe = out.withColumn(
                 "salt",
-                F.pmod(F.xxhash64(F.col("_sk"), F.col("_pk"), F.col("_ok"),
-                                  F.lit(pos)),
-                       F.lit(salt_factor)).cast("int"))
+                F.when(_is_hot(key_col),
+                       F.pmod(F.xxhash64(F.col("_sk"), F.col("_pk"),
+                                         F.col("_ok"), F.lit(pos)),
+                              F.lit(salt_factor)).cast("int"))
+                .otherwise(F.lit(0)))
             out = (probe.join(
                 d_salted.withColumnRenamed("term_id", pos),
                 (probe[key_col] == d_salted["tk"])

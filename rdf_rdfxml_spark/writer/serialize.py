@@ -360,6 +360,14 @@ def write_rdfxml(triples, group_cols=("doc_sha",), attributes: str = "none",
     import pandas as pd
 
     group_cols = list(group_cols)
+    # project to the render's inputs BEFORE the group exchange: lineage
+    # passthrough columns (repo/path/commit) would otherwise ride the
+    # shuffle unused — measurable width at 100 TB (PERF.md §16)
+    needed = group_cols + [c for c in
+                           ("s", "s_kind", "p", "o", "o_kind",
+                            "o_lang", "o_dt")
+                           if c not in group_cols and c in triples.columns]
+    triples = triples.select(*needed)
     schema = ", ".join(f"{c} string" for c in group_cols) + ", xml string"
 
     def render(key, pdf: pd.DataFrame) -> pd.DataFrame:

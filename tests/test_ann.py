@@ -143,3 +143,34 @@ def test_quantized_ann_recall_and_error(spark, vectors):
         qv = np.array(r["qv"])
         assert np.abs(qv).max() <= 127
         assert abs(np.sqrt((qv.astype(float) ** 2).sum()) - 127) < 2
+
+
+def test_production_threshold_trained_dedup_recall(spark, vectors):
+    """Production-threshold (0.7) embedding dedup (round-3 verdict
+    next-round #3): the corpus has no pairs above cosine 0.7, so
+    deterministic near-dup twins (cosine ~0.999 to their originals) make
+    the threshold non-vacuous. Trained-centroid bucketed dedup must
+    reproduce the numpy brute-force pair set at 0.7 exactly — recall AND
+    precision 1.0."""
+    from rdf_rdfxml_spark.operators.ann import (
+        kmeans_cells, with_neardup_twins,
+    )
+    ids, v = vectors
+    n_twins, off, mix = 20, 100000, 0.05
+    tids, tv = [], []
+    for i, x in zip(ids, v):
+        if int(i) < n_twins:
+            tids.append(int(i) + off)
+            tv.append((1.0 - mix) * x + mix * x[0])
+    all_ids = np.concatenate([ids, np.array(tids)])
+    all_v = np.vstack([v, np.array(tv)])
+    truth = _brute_force_pairs(all_ids, all_v, threshold=0.7)
+    assert len(truth) >= n_twins  # every twin pairs with its original
+
+    emb = with_neardup_twins(load_embeddings(spark, SF_DIR),
+                             n_twins=n_twins, id_offset=off, mix=mix)
+    _, centroids = kmeans_cells(emb, k=8, iters=2)
+    got = {(r["a"], r["b"]) for r in
+           dedup_embedding_bucketed(emb, centroids=centroids,
+                                    threshold=0.7).collect()}
+    assert got == truth

@@ -2,7 +2,13 @@
 entry on Spark and its oracle_sql() on DuckDB over the same sf dir, compare
 row count, column names/types, and an order-insensitive value hash.
 
-Usage: python tools/check_oracles.py [sf_dir] [query ...]
+Covers BOTH registries: the driver-gated queries() (capped at 50 by the
+driver) and extra_queries() (consolidated-away baselines/variants) — so
+every twinned query stays verified locally even when outside the gate.
+
+Usage: python tools/check_oracles.py [--json FILE] [sf_dir] [query ...]
+--json writes a CORRECTNESS-style per-query artifact (committable
+evidence for the extras the driver never sees).
 """
 
 from __future__ import annotations
@@ -62,8 +68,13 @@ def value_hash(rows, colnames):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
@@ -78,8 +89,17 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = dict(entrymod.queries())
+    n_gated = len(qs)
+    assert n_gated <= 50, (
+        f"queries() has {n_gated} entries — the driver gate checks only "
+        "the first 50; consolidate (round-3 verdict next-round #1)")
+    oracles = dict(entrymod.oracle_sql())
+    if hasattr(entrymod, "extra_queries"):
+        qs.update(entrymod.extra_queries())
+        oracles.update(entrymod.extra_oracle_sql())
+    print(f"[gate] {n_gated} driver-gated + {len(qs) - n_gated} extra")
+    results = {}
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -90,9 +110,11 @@ def main():
             scols = sdf.columns
         except Exception as e:
             failures.append(name)
+            results[name] = {"err": f"spark: {type(e).__name__}"}
             print(f"FAIL {name}: spark raised {type(e).__name__}: {str(e)[:200]}")
             continue
         if name not in oracles:
+            results[name] = {"rows_only": len(srows), "err": None}
             print(f"SKIP {name}: no oracle (rows-only: {len(srows)})")
             continue
         try:
@@ -101,6 +123,7 @@ def main():
             orows = res.fetchall()
         except Exception as e:
             failures.append(name)
+            results[name] = {"err": f"duckdb: {str(e)[:120]}"}
             print(f"FAIL {name}: duckdb raised: {str(e)[:200]}")
             continue
         scols_l = [c.lower() for c in scols]
@@ -133,6 +156,14 @@ def main():
                     print(f"   spark-only: {x}")
                 for x in list(oset - sset)[:3]:
                     print(f"   oracle-only: {x}")
+        results[name] = {
+            "rows_match": len(srows) == len(orows),
+            "schema_match": not any("columns" in p or "type" in p
+                                    for p in problems),
+            "hash_match": not problems,
+            "spark_rows": len(srows), "oracle_rows": len(orows),
+            "gated": name in entrymod.queries(), "err": None,
+        }
         if problems:
             failures.append(name)
             print(f"FAIL {name}: {'; '.join(problems)}")
@@ -140,6 +171,12 @@ def main():
             print(f"PASS {name} ({len(srows)} rows)")
     print(f"\n{len(failures)} failures" if failures
           else "\nALL ORACLE CHECKS PASS")
+    if json_out:
+        import json
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_gated": n_gated,
+                       "results": results}, f, indent=1)
+        print(f"wrote {json_out}")
     spark.stop()
     sys.exit(1 if failures else 0)
 
