@@ -5,13 +5,14 @@ metadata. The Spark-side plumbing — schema, partition-friendly batch shape,
 Arrow-vectorized UDF signatures, per-item error isolation — is real and
 tested, and five *real* pure-Python decoders are wired in: PPM P6,
 24-bit uncompressed BMP, PNG (stdlib zlib inflate, all five scanline
-filters, CRC-verified), GIF87a/89a (full variable-width LZW), and
-baseline JPEG (operators/jpeg.py — exact orthonormal DCT, canonical
-Huffman, 4:4:4; progressive/subsampled streams are a declared
-DecodeError). WebP/AVIF-grade codecs remain the
-``NotImplementedError`` seam; ``fake=True`` additionally enables the
-deterministic pseudo-pixel decoder for plumbing tests over arbitrary
-payloads.
+filters, CRC-verified), GIF87a/89a (full variable-width LZW), and JPEG
+(operators/jpeg.py — exact orthonormal DCT, canonical Huffman, SOF0
+baseline AND SOF2 progressive with spectral selection + successive
+approximation, 4:4:4/4:2:2/4:2:0 subsampling; restart markers and
+arithmetic coding are the declared DecodeError seam). WebP/AVIF-grade
+codecs remain the ``NotImplementedError`` seam; ``fake=True``
+additionally enables the deterministic pseudo-pixel decoder for
+plumbing tests over arbitrary payloads.
 
 At 100 TB scale the pattern is the one that matters: ``mapInPandas`` over
 Arrow batches keeps payload bytes zero-copy end-to-end, metadata columns
@@ -283,7 +284,7 @@ def decode_image(payload: bytes, *, fake: bool = False) -> np.ndarray:
     if not fake:
         raise NotImplementedError(
             "no codec for this image format in this environment "
-            "(PPM/BMP/PNG/GIF/baseline-JPEG decode natively; WebP/AVIF "
+            "(PPM/BMP/PNG/GIF/JPEG incl. progressive decode natively; WebP/AVIF "
             "etc. need codec libraries); pass fake=True for the "
             "deterministic test decoder")
     seed = int.from_bytes(hashlib.sha256(payload).digest()[:4], "big")
@@ -339,24 +340,34 @@ def extract_features(media: DataFrame, *, fake_decode: bool = False,
 
 def synth_media_item(i: int) -> tuple:
     """Deterministic synthetic media item i: (media_id, mime, payload,
-    w, h). Formats rotate PPM / PNG / GIF / baseline JPEG so every real
-    decoder is exercised end-to-end (images have ≤160 pixels, so GIF's
-    ≤256-color palettization is exact; JPEG is lossy but deterministic,
-    and the oracle runs the same decode at generation time); shared by
-    :func:`synth_media` and the driver oracle builder so the two can
-    never drift."""
+    w, h). Formats rotate PPM / PNG / GIF / baseline JPEG / progressive
+    JPEG (SOF2, 4:2:0) / baseline 4:2:0 JPEG so every real decoder path —
+    including the progressive + subsampled shapes that dominate real
+    corpora — is exercised end-to-end through the gated driver query
+    (images have ≤160 pixels, so GIF's ≤256-color palettization is
+    exact; JPEG is lossy but deterministic, and the oracle runs the same
+    decode at generation time); shared by :func:`synth_media` and the
+    driver oracle builder so the two can never drift."""
     seed = int.from_bytes(
         hashlib.sha256(f"media:{i}".encode()).digest()[:4], "big")
     rng = np.random.default_rng(seed)
     w, h = 4 + (i % 13), 4 + (i % 7)
     img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-    if i % 4 == 1:
+    if i % 6 == 1:
         return ("m%04d" % i, "image/png", encode_png(img), w, h)
-    if i % 4 == 2:
+    if i % 6 == 2:
         return ("m%04d" % i, "image/gif", encode_gif(img), w, h)
-    if i % 4 == 3:
+    if i % 6 == 3:
         from .jpeg import encode_jpeg
         return ("m%04d" % i, "image/jpeg", encode_jpeg(img), w, h)
+    if i % 6 == 4:
+        from .jpeg import encode_jpeg_progressive
+        return ("m%04d" % i, "image/jpeg",
+                encode_jpeg_progressive(img, sampling="420"), w, h)
+    if i % 6 == 5:
+        from .jpeg import encode_jpeg
+        return ("m%04d" % i, "image/jpeg",
+                encode_jpeg(img, sampling="420"), w, h)
     return ("m%04d" % i, "image/x-portable-pixmap", encode_ppm(img), w, h)
 
 

@@ -17,7 +17,13 @@ IVF cells scale with sqrt(N): n_cells 8 at 1x -> 25 at 10x, checking that
 the bucketed dedup's sum-of-cell-squared cost tracks ~linearly when the
 cell count follows the data.
 
-Usage: python tools/scale_proof.py   (prints one JSON line; ~5 min)
+Usage: python tools/scale_proof.py [30x] [recall]
+  (prints one JSON line; ~5 min base, +~10 min per extra mode)
+  30x     — add a 30x leg for the flagship + minhash + verified-pairs
+            (round-3 verdict #9: catch any Σ|cell|²/fan-out constant
+            creeping past the 10x validation).
+  recall  — production-threshold (0.7) trained-IVF dedup vs numpy
+            brute force at 1x and 10x, k ∝ N (round-3 verdict #3).
 Protocol per CLAUDE.md: best-of-2 per (query, scale) leg, quiet host.
 """
 
@@ -119,8 +125,13 @@ def main():
     construct_graph(_bench_docs(spark, SF_DIR, 2), strict=True,
                     repartition=None).triples.count()
 
+    modes = set(sys.argv[1:])
+
     # ---- flagship kg_construct: replicate 40 (r2 bench shape) vs 400 ----
-    for label, rep in (("1x", 40), ("10x", 400)):
+    kg_legs = [("1x", 40), ("10x", 400)]
+    if "30x" in modes:
+        kg_legs.append(("30x", 1200))
+    for label, rep in kg_legs:
         docs = _bench_docs(spark, SF_DIR, rep)
         wall, n = best_of(
             2, lambda d=docs: construct_graph(
@@ -131,8 +142,12 @@ def main():
         out[f"kg_{label}_skew"] = round(
             skew_ratio(extract(_bench_docs(spark, SF_DIR, rep))), 3)
 
-    # ---- sketch suite over documents: 1x (5k docs) vs 10x (50k docs) ----
-    for label, rep in (("1x", 1), ("10x", 10)):
+    # ---- sketch suite over documents: 1x (5k docs) vs 10x (50k docs),
+    # plus an optional 30x leg (minhash + verified-pairs only) ----
+    doc_legs = [("1x", 1), ("10x", 10)]
+    if "30x" in modes:
+        doc_legs.append(("30x", 30))
+    for label, rep in doc_legs:
         docs = rep_documents(spark, rep).repartition(spread).persist()
         n_docs = docs.count()
         out[f"docs_{label}"] = n_docs
@@ -147,6 +162,10 @@ def main():
                 d, minhash_candidates(d)).count())
         out[f"verify_{label}_sec"] = wall
         out[f"verify_{label}_pairs"] = verified
+
+        if label == "30x":  # 30x covers flagship + minhash + verify only
+            docs.unpersist()
+            continue
 
         wall, comps = best_of(
             2, lambda d=docs: connected_components(
@@ -188,12 +207,51 @@ def main():
         out[f"ivf_dedup_{label}_cells"] = cells
         emb.unpersist()
 
+    # ---- production-threshold (0.7) trained dedup recall vs numpy ----
+    if "recall" in modes:
+        import numpy as np
+        from rdf_rdfxml_spark.operators.ann import with_neardup_twins
+        for label, rep in (("1x", 1), ("10x", 10)):
+            emb = with_neardup_twins(
+                rep_embeddings(spark, rep).repartition(spread)).persist()
+            n_vec = emb.count()
+            cells = 8 * rep  # k ∝ N: the dedup regime (constant cell size)
+            _, centroids = kmeans_cells(emb, k=cells, iters=2)
+            wall, rows_got = best_of(
+                2, lambda e=emb, c=centroids: dedup_embedding_bucketed(
+                    e, centroids=c, threshold=0.7).collect())
+            got = {(r["a"], r["b"]) for r in rows_got}
+            # numpy brute-force ground truth (chunked row blocks)
+            all_rows = emb.collect()
+            ids = np.array([r["vec_id"] for r in all_rows])
+            V = np.array([r["v"] for r in all_rows])
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            truth = set()
+            for i0 in range(0, len(ids), 4000):
+                S = Vn[i0:i0 + 4000] @ Vn.T
+                for a, b in zip(*np.nonzero(S >= 0.7)):
+                    ga, gb = int(ids[i0 + a]), int(ids[b])
+                    if ga < gb:
+                        truth.add((ga, gb))
+            out[f"prod_dedup_{label}_sec"] = wall
+            out[f"prod_dedup_{label}_vectors"] = n_vec
+            out[f"prod_dedup_{label}_cells"] = cells
+            out[f"prod_dedup_{label}_true_pairs"] = len(truth)
+            out[f"prod_dedup_{label}_recall"] = round(
+                len(got & truth) / max(1, len(truth)), 4)
+            out[f"prod_dedup_{label}_precision"] = round(
+                len(got & truth) / max(1, len(got)), 4)
+            emb.unpersist()
+
     # headline ratios (10x work in <= ~10x time = linear or better)
     for k in ("kg", "minhash", "verify", "components", "simhash",
-              "winnow", "containment", "tfidf", "ivf_dedup"):
+              "winnow", "containment", "tfidf", "ivf_dedup", "prod_dedup"):
         a, b = out.get(f"{k}_1x_sec"), out.get(f"{k}_10x_sec")
         if a and b:
             out[f"{k}_time_ratio_10x"] = round(b / a, 2)
+        c = out.get(f"{k}_30x_sec")
+        if a and c:
+            out[f"{k}_time_ratio_30x"] = round(c / a, 2)
     print(json.dumps(out))
     spark.stop()
 
