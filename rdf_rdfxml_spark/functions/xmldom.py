@@ -22,6 +22,7 @@ DTD entities are expanded by expat natively (the reference enables
 
 from __future__ import annotations
 
+import os
 import re
 
 from xml.parsers import expat
@@ -178,9 +179,24 @@ def _decode_declared(data: bytes) -> str:
         raise XMLParseError(f"cannot decode declared encoding {enc}: {e}")
 
 
-def parse_document(content) -> Element:
+def parse_document(content, library: str | None = None) -> Element:
     """Parse an XML document string/bytes into the mini-DOM; raise
-    :class:`XMLParseError` on malformed input."""
+    :class:`XMLParseError` on malformed input.
+
+    ``library`` selects the adapter — ``"expat"`` (C-backed, the default,
+    the reference's nokogiri role) or ``"python"`` (the pure-Python
+    fallback, :mod:`.purexml`, the reference's rexml role;
+    reader.rb:143-157). Defaults to ``$RDFXML_SPARK_XML_LIBRARY`` or
+    expat. Both adapters produce the same tree and typed error and are
+    differentially tested against each other (tests/test_purexml.py).
+    """
+    lib = library or os.environ.get("RDFXML_SPARK_XML_LIBRARY", "expat")
+    if lib == "python":
+        from .purexml import parse_document_py
+        return parse_document_py(content)
+    if lib != "expat":
+        raise ValueError(f"unknown XML library {lib!r} "
+                         "(expected 'expat' or 'python')")
     parser = expat.ParserCreate(namespace_separator=_SEP)
     parser.namespace_prefixes = True
     parser.ordered_attributes = True

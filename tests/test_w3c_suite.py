@@ -146,3 +146,47 @@ def test_earl_report_fresh_and_all_passed():
         checked_in = f.read()
     assert fresh == checked_in, "EARL.md is stale — rerun tools/earl_report.py"
     assert "**FAILED**" not in fresh
+
+
+def test_reference_inline_adaptations():
+    """Differential against reference-AUTHORED test documents: the
+    reference embeds its own adaptations of three W3C negative tests
+    inline (spec/reader_spec.rb:228,250,272 — aboutEach-error001/002,
+    rdf-id-error001). Our parser must reject those exact texts, the
+    strongest offline fidelity evidence available for the reconstructed
+    corpus (PROVENANCE.md)."""
+    from rdf_rdfxml_spark import parse_rdfxml
+
+    docs = [
+        # reader_spec.rb:228 — rdfms-abouteach-error001
+        """<?xml version="1.0" ?>
+            <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                     xmlns:eg="http://example.org/">
+              <rdf:Bag rdf:ID="node">
+                <rdf:li rdf:resource="http://example.org/node2"/>
+              </rdf:Bag>
+              <rdf:Description rdf:aboutEach="#node">
+                <dc:rights xmlns:dc="http://purl.org/dc/elements/1.1/">me</dc:rights>
+              </rdf:Description>
+            </rdf:RDF>""",
+        # reader_spec.rb:250 — rdfms-abouteach-error002
+        """<?xml version="1.0" ?>
+            <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                     xmlns:eg="http://example.org/">
+              <rdf:Description rdf:about="http://example.org/node">
+                <eg:property>foo</eg:property>
+              </rdf:Description>
+              <rdf:Description rdf:aboutEachPrefix="http://example.org/">
+                <dc:creator xmlns:dc="http://purl.org/dc/elements/1.1/">me</dc:creator>
+              </rdf:Description>
+            </rdf:RDF>""",
+        # reader_spec.rb:272 — rdfcore-rdfms-rdf-id-error001
+        """<?xml version="1.0"?>
+            <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">
+              <rdf:Description rdf:ID='333-555-666' />
+            </rdf:RDF>""",
+    ]
+    for doc in docs:
+        triples, errors = parse_rdfxml(
+            doc, base_uri="http://example.com", doc_key="x", strict=True)
+        assert errors, "reference-adapted negative doc was not rejected"
