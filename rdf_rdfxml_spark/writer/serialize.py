@@ -353,12 +353,21 @@ def _bnode_label(bid: str) -> str:
 def write_rdfxml(triples, group_cols=("doc_sha",), attributes: str = "none",
                  *, base_uri: str | None = None, max_depth: int = 10,
                  lang: str | None = None, stylesheet: str | None = None):
-    """Spark stage: grouped-map serialization — one RDF/XML document per
-    group (applyInPandas; per-document data-parallel, SURVEY.md §2.3).
-    Keyword options mirror the reference writer's surface (writer.rb:
-    max_depth :153, base/lang :152-179, stylesheet :215-228)."""
-    import pandas as pd
+    """Spark stage: grouped serialization — one RDF/XML document per
+    group (per-document data-parallel, SURVEY.md §2.3). Keyword options
+    mirror the reference writer's surface (writer.rb: max_depth :153,
+    base/lang :152-179, stylesheet :215-228).
 
+    Plan shape (PERF.md §16): ``repartition(group) →
+    sortWithinPartitions(group) → mapInArrow`` with a streaming groupby
+    over the sorted Arrow batches — semantically identical to
+    ``groupBy().applyInPandas`` (same single exchange + sort) but without
+    the per-GROUP pandas DataFrame construction, which dominated wall
+    time at ~5-triple documents (thousands of tiny groups per task; the
+    same reason extraction uses mapInArrow). Groups spanning batch
+    boundaries are carried over; a group never spans partitions because
+    the repartition hashes on exactly the group columns.
+    """
     group_cols = list(group_cols)
     # project to the render's inputs BEFORE the group exchange: lineage
     # passthrough columns (repo/path/commit) would otherwise ride the
@@ -369,13 +378,42 @@ def write_rdfxml(triples, group_cols=("doc_sha",), attributes: str = "none",
                            if c not in group_cols and c in triples.columns]
     triples = triples.select(*needed)
     schema = ", ".join(f"{c} string" for c in group_cols) + ", xml string"
+    out_cols = group_cols + ["xml"]
+    opts = dict(attributes=attributes, base_uri=base_uri,
+                max_depth=max_depth, lang=lang, stylesheet=stylesheet)
 
-    def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = pdf.to_dict("records")
-        xml = serialize_graph(rows, attributes=attributes,
-                              base_uri=base_uri, max_depth=max_depth,
-                              lang=lang, stylesheet=stylesheet)
-        return pd.DataFrame([list(key) + [xml]],
-                            columns=group_cols + ["xml"])
+    def render_stream(batches):
+        import pyarrow as pa
+        cur_key, cur_rows = None, []
+        out = {c: [] for c in out_cols}
 
-    return triples.groupBy(*group_cols).applyInPandas(render, schema=schema)
+        def flush():
+            if cur_key is None:
+                return
+            xml = serialize_graph(cur_rows, **opts)
+            for c, k in zip(group_cols, cur_key):
+                out[c].append(k)
+            out["xml"].append(xml)
+
+        for batch in batches:
+            for r in batch.to_pylist():
+                k = tuple(r[c] for c in group_cols)
+                if k != cur_key:
+                    flush()
+                    cur_key, cur_rows = k, []
+                cur_rows.append(r)
+            if out["xml"]:
+                yield pa.RecordBatch.from_pydict(
+                    {c: out[c] for c in out_cols})
+                out = {c: [] for c in out_cols}
+        flush()
+        if out["xml"]:
+            yield pa.RecordBatch.from_pydict({c: out[c] for c in out_cols})
+
+    # explicit partition count: the group shuffle is small in BYTES but
+    # the render is compute-bound — AQE would coalesce it to one task
+    # (the §7 bytes-vs-compute trap; observed exactly that: 1-task render)
+    spread = 2 * triples.sparkSession.sparkContext.defaultParallelism
+    return (triples.repartition(spread, *group_cols)
+            .sortWithinPartitions(*group_cols)
+            .mapInArrow(render_stream, schema=schema))

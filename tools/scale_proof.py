@@ -193,8 +193,10 @@ def main():
         out[f"tfidf_{label}_rows"] = kws
         docs.unpersist()
 
-    # ---- trained-IVF embedding dedup: n_cells follows sqrt(N) ----
-    for label, rep, cells in (("1x", 1, 8), ("10x", 10, 25)):
+    # ---- trained-IVF embedding dedup: n_cells follows k ∝ N (the dedup
+    # regime — constant cell size; the √N search heuristic applied here
+    # measured N^1.5 in r3 and 69x in an r4 control run) ----
+    for label, rep, cells in (("1x", 1, 8), ("10x", 10, 80)):
         emb = rep_embeddings(spark, rep).repartition(spread).persist()
         n_vec = emb.count()
         out[f"vectors_{label}"] = n_vec
