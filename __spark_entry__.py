@@ -606,6 +606,22 @@ def q_dedup_embedding_trained(spark, sf_dir):
                                     threshold=0.7)
 
 
+def q_dedup_embedding_twolevel(spark, sf_dir):
+    # Two-level IVF dedup at the production threshold: a coarse quantizer
+    # over the trained centroid table cuts the N·k assignment cosines to
+    # ~N·3√k — the piece that turned quadratic under the k ∝ N dedup
+    # regime (BASELINE.md round-4). Coarse level = strided centroid
+    # subset (deterministic), every ranking on the ROUND(cos,6)+id
+    # contract, so the oracle replicates the full two-level path in SQL.
+    from rdf_rdfxml_spark.operators.ann import (
+        dedup_embedding_twolevel, kmeans_cells, load_embeddings,
+        with_neardup_twins,
+    )
+    emb = with_neardup_twins(load_embeddings(spark, sf_dir))
+    _, centroids = kmeans_cells(emb, k=16, iters=2)
+    return dedup_embedding_twolevel(emb, centroids, threshold=0.7)
+
+
 def q_ann_quantized_topk(spark, sf_dir):
     # int8 scalar-quantized ANN: 4x less data per vector, exact integer
     # dot products (no cross-engine float seams in the compare). The
@@ -1017,7 +1033,7 @@ def q_events_windowed(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The driver-gated registry — kept at 49 entries because the driver's
+    """The driver-gated registry — kept at ≤50 entries because the driver's
     correctness gate checks only the FIRST 50 (round-3 verdict: 9 of 59
     silently fell outside the window, leaving the multimodal / composite-
     curation / event flagships ungated). Consolidation, not coverage loss:
@@ -1060,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "dedup_embedding_trained": q_dedup_embedding_trained,
+        "dedup_embedding_twolevel": q_dedup_embedding_twolevel,
         "ann_quantized_topk": q_ann_quantized_topk,
         "ann_ivf_trained": q_ann_ivf_trained,
         "stream_neardup": q_stream_neardup,
@@ -1483,6 +1500,9 @@ def _all_oracle_sql() -> dict[str, str]:
 
         "dedup_embedding_trained": _ANN.dedup_trained_oracle_sql(
             threshold=0.7, table=_ANN.neardup_twins_table_sql()),
+
+        "dedup_embedding_twolevel": _ANN.dedup_twolevel_oracle_sql(
+            threshold=0.7, k=16, table=_ANN.neardup_twins_table_sql()),
 
         "stream_neardup": _SK.stream_neardup_oracle_sql(),
 

@@ -120,6 +120,68 @@ def ivf_assign(emb: DataFrame, *, n_cells: int = 8,
             .select("vec_id", "v", "cell_id"))
 
 
+def ivf_assign_two_level(emb: DataFrame, centroids: list, *,
+                         coarse_probes: int = 2,
+                         nprobe: int = 4) -> DataFrame:
+    """Two-level IVF assignment: a coarse quantizer over the centroid
+    table cuts the N·k fine-assignment cosines to
+    ``N·(k' + coarse_probes·k/k')`` with k' ≈ √k.
+
+    Why it exists: embedding DEDUP wants k ∝ N (constant cell size —
+    the measured-linear regime), but flat assignment is then N·k = N²
+    in the limit (BASELINE.md round-4: the 10× wall grew 12.7× and the
+    assignment stage was the supralinear part). The standard fix is a
+    coarse first level; with k ∝ N this restores ~N^1.5 total
+    assignment work, and the within-cell pair math stays linear.
+
+    Coarse table = every ⌈√k⌉-th fine centroid by cell_id (strided
+    subset — deterministic and directly SQL-expressible, so the DuckDB
+    oracle replicates the whole path; a TRAINED coarse level drops into
+    the same slot). The fine→coarse routing map is computed with the
+    same rounded-cosine/(id tie-break) contract as every other
+    cross-engine ranking (k×k' rows — model-sized).
+
+    Output ``(vec_id, v, cell_id)``, one row per probed fine cell —
+    drop-in for :func:`ivf_assign`. Approximate BY DESIGN: a vector's
+    best fine cell outside its probed coarse cells is missed; recall vs
+    the flat path is measured in tests/test_ann.py.
+    """
+    spark = emb.sparkSession
+    k = len(centroids)
+    step = max(1, int(k ** 0.5))
+    cent = F.broadcast(spark.createDataFrame(
+        [(int(c), list(map(float, v))) for c, v in centroids],
+        "cell_id int, cv array<double>"))
+    coarse = cent.filter(f"cell_id % {step} = 0").selectExpr(
+        "cell_id AS coarse_id", "cv AS qv")
+    # fine→coarse routing (k×k' rows; rounded cosine, deterministic ties)
+    f2c = (cent.crossJoin(F.broadcast(coarse))
+           .selectExpr("cell_id", "coarse_id",
+                       f"round(({_cos('cv', 'qv')}), 6) AS c"))
+    wf = Window.partitionBy("cell_id").orderBy(F.desc("c"),
+                                               F.asc("coarse_id"))
+    routing = (f2c.withColumn("r", F.row_number().over(wf))
+               .filter("r = 1").select("cell_id", "coarse_id"))
+    fine = F.broadcast(cent.join(routing, "cell_id"))
+
+    scored = (emb.crossJoin(F.broadcast(coarse))
+              .selectExpr("vec_id", "v", "coarse_id",
+                          f"round(({_cos('v', 'qv')}), 6) AS c"))
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("c"),
+                                              F.asc("coarse_id"))
+    probes = (scored.withColumn("r", F.row_number().over(wc))
+              .filter(f"r <= {coarse_probes}")
+              .select("vec_id", "v", "coarse_id"))
+    cand = (probes.join(fine, "coarse_id")
+            .selectExpr("vec_id", "v", "cell_id",
+                        f"round(({_cos('v', 'cv')}), 6) AS c"))
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("c"),
+                                              F.asc("cell_id"))
+    return (cand.withColumn("r", F.row_number().over(wv))
+            .filter(f"r <= {nprobe}")
+            .select("vec_id", "v", "cell_id"))
+
+
 def dedup_embedding_bucketed(emb: DataFrame, *, threshold: float = 0.4,
                              n_cells: int = 8, nprobe: int = 4,
                              centroids: list | None = None) -> DataFrame:
@@ -144,6 +206,26 @@ def dedup_embedding_bucketed(emb: DataFrame, *, threshold: float = 0.4,
     """
     assign = ivf_assign(emb, n_cells=n_cells, nprobe=nprobe,
                         centroids=centroids)
+    return _dedup_from_assign(emb, assign, threshold)
+
+
+def dedup_embedding_twolevel(emb: DataFrame, centroids: list, *,
+                             threshold: float = 0.7,
+                             coarse_probes: int = 2,
+                             nprobe: int = 4) -> DataFrame:
+    """Embedding dedup through the TWO-LEVEL assignment
+    (:func:`ivf_assign_two_level`) — the k ∝ N configuration whose flat
+    assignment would be quadratic. Same distinct-pairs-first /
+    broadcast-unit-vectors pair pipeline as
+    :func:`dedup_embedding_bucketed`."""
+    assign = ivf_assign_two_level(emb, centroids,
+                                  coarse_probes=coarse_probes,
+                                  nprobe=nprobe)
+    return _dedup_from_assign(emb, assign, threshold)
+
+
+def _dedup_from_assign(emb: DataFrame, assign: DataFrame,
+                       threshold: float) -> DataFrame:
     spread = 2 * emb.sparkSession.sparkContext.defaultParallelism
     cand = (assign.selectExpr("vec_id AS a", "cell_id")
             .join(assign.selectExpr("vec_id AS b", "cell_id"), "cell_id")
@@ -456,6 +538,72 @@ def dedup_trained_oracle_sql(*, threshold: float = 0.4, k: int = 8,
                                 ORDER BY {cos} DESC, c.cell_id) AS crank
       FROM e, cent{iters} c),
     assign AS (SELECT vec_id, cell_id FROM scored WHERE crank <= {nprobe}),
+    pairs AS (
+      SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+      FROM assign l JOIN assign r
+        ON l.cell_id = r.cell_id AND l.vec_id < r.vec_id),
+    unit AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM e),
+    sims AS (
+      SELECT p.a, p.b, list_dot_product(ua.u, ub.u) AS sim
+      FROM pairs p JOIN unit ua ON ua.vec_id = p.a
+                   JOIN unit ub ON ub.vec_id = p.b)
+    SELECT a, b, ROUND(sim, 4) AS sim_r FROM sims
+    WHERE sim >= {threshold}""")
+
+
+def dedup_twolevel_oracle_sql(*, threshold: float = 0.7, k: int = 16,
+                              iters: int = 2, nprobe: int = 4,
+                              coarse_probes: int = 2,
+                              round_dec: int = 6,
+                              table: str = "embeddings") -> str:
+    """DuckDB twin of kmeans_cells → dedup_embedding_twolevel: the
+    trained-centroid CTE chain, then the strided coarse table, the
+    rounded-cosine fine→coarse routing, coarse probing, fine assignment
+    restricted to probed coarse cells, and the distinct-pairs/unit-dot
+    pipeline — every ranking uses the same ROUND(cos, 6) + id tie-break
+    contract as the Spark path."""
+    step = max(1, int(k ** 0.5))
+    cos_vc = ("ROUND(list_dot_product(e.v, f.cv) / "
+              "(sqrt(list_dot_product(e.v, e.v)) * "
+              "sqrt(list_dot_product(f.cv, f.cv))), 6)")
+    cos_vq = ("ROUND(list_dot_product(e.v, q.qv) / "
+              "(sqrt(list_dot_product(e.v, e.v)) * "
+              "sqrt(list_dot_product(q.qv, q.qv))), 6)")
+    cos_cq = ("ROUND(list_dot_product(f.cv, q.qv) / "
+              "(sqrt(list_dot_product(f.cv, f.cv)) * "
+              "sqrt(list_dot_product(q.qv, q.qv))), 6)")
+    parts = _kmeans_cte_parts(k=k, iters=iters, round_dec=round_dec,
+                              table=table)
+    return ("WITH" + ",".join(parts) + f""",
+    fine AS (SELECT cell_id, cv FROM cent{iters}),
+    coarse AS (SELECT cell_id AS coarse_id, cv AS qv FROM fine
+               WHERE cell_id % {step} = 0),
+    routing AS (
+      SELECT cell_id, coarse_id FROM (
+        SELECT f.cell_id, q.coarse_id,
+               ROW_NUMBER() OVER (PARTITION BY f.cell_id
+                                  ORDER BY {cos_cq} DESC, q.coarse_id)
+                 AS r
+        FROM fine f, coarse q) WHERE r = 1),
+    probes AS (
+      SELECT vec_id, coarse_id FROM (
+        SELECT e.vec_id, q.coarse_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_vq} DESC, q.coarse_id)
+                 AS r
+        FROM e, coarse q) WHERE r <= {coarse_probes}),
+    assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, f.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_vc} DESC, f.cell_id) AS r
+        FROM e
+        JOIN probes p ON p.vec_id = e.vec_id
+        JOIN routing rt ON rt.coarse_id = p.coarse_id
+        JOIN fine f ON f.cell_id = rt.cell_id) WHERE r <= {nprobe}),
     pairs AS (
       SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
       FROM assign l JOIN assign r

@@ -4,8 +4,9 @@ of the multimodal suite that previously needed an external codec library.
 Scope (declared): DCT modes SOF0 (baseline sequential) and SOF2
 (progressive: spectral selection AND successive approximation, the shape
 virtually every JPEG on the public web uses), 8-bit, 4:4:4 / 4:2:2 /
-4:2:0 chroma subsampling (any integer h×v factors dividing the max), no
-restart markers (DRI>0 → DecodeError), no arithmetic coding / lossless /
+4:2:0 chroma subsampling (any integer h×v factors dividing the max),
+DRI restart markers (sequence-checked, DC/EOB-run state reset,
+byte-realignment — in both modes), no arithmetic coding / lossless /
 hierarchical modes. Anything outside the envelope raises ``DecodeError``
 loudly (round-3 verdict next-round #8 closed the progressive +
 subsampling gap — real corpora are mostly progressive).
@@ -165,6 +166,29 @@ class _BitReader:
         self.acc &= (1 << self.n) - 1
         return out
 
+    def align_restart(self, expect_seq: int) -> None:
+        """Consume a restart marker: discard pad bits (≤7 buffered 1s),
+        tolerate a stuffed all-ones pad byte / FF fill, then require
+        RST(expect_seq & 7) — T.81 §B.2.5/E.2.4."""
+        self.acc = 0
+        self.n = 0
+        d = self.data
+        while d[self.pos:self.pos + 2] == b"\xff\x00":
+            self.pos += 2                   # stuffed 0xFF pad byte
+        while d[self.pos:self.pos + 2] == b"\xff\xff":
+            self.pos += 1                   # fill byte
+        if not (d[self.pos:self.pos + 1] == b"\xff"
+                and self.pos + 1 < len(d)
+                and 0xD0 <= d[self.pos + 1] <= 0xD7):
+            raise DecodeError(
+                f"expected restart marker at entropy offset {self.pos}")
+        got = d[self.pos + 1] & 7
+        if got != (expect_seq & 7):
+            raise DecodeError(
+                f"restart marker out of sequence (RST{got}, "
+                f"expected RST{expect_seq & 7})")
+        self.pos += 2
+
 
 def _fixed_length_huffman(symbols: list[int]):
     """Canonical Huffman table with every used symbol at one length L,
@@ -269,14 +293,23 @@ def _quantized_components(img: np.ndarray, quality: int, sampling: str):
     return comps, qt, mcux, mcuy
 
 
-def _mcu_block_order(comps, mcux, mcuy):
-    """Yield (comp_index, by, bx) in interleaved MCU order."""
+def _mcu_groups(comps, mcux, mcuy):
+    """Yield one [(comp_index, by, bx), ...] list per interleaved MCU."""
     for my in range(mcuy):
         for mx in range(mcux):
+            grp = []
             for ci, c in enumerate(comps):
                 for v in range(c["vi"]):
                     for hh in range(c["hi"]):
-                        yield ci, my * c["vi"] + v, mx * c["hi"] + hh
+                        grp.append((ci, my * c["vi"] + v,
+                                    mx * c["hi"] + hh))
+            yield grp
+
+
+def _mcu_block_order(comps, mcux, mcuy):
+    """Yield (comp_index, by, bx) in interleaved MCU order."""
+    for grp in _mcu_groups(comps, mcux, mcuy):
+        yield from grp
 
 
 class _OpStream:
@@ -294,6 +327,9 @@ class _OpStream:
         if n:
             self.ops.append(("bits", v, n))
 
+    def rst(self, seq):
+        self.ops.append(("rst", seq & 7, 0))
+
     def tables(self):
         pop: dict = {}
         for op in self.ops:
@@ -306,6 +342,9 @@ class _OpStream:
             if op[0] == "sym":
                 code, ln = tables[op[1]][2][op[2]]
                 bw.write(code, ln)
+            elif op[0] == "rst":
+                bw.flush()                 # byte-align (1-padded, stuffed)
+                bw.out += bytes([0xFF, 0xD0 + op[1]])
             else:
                 bw.write(op[1], op[2])
 
@@ -316,23 +355,31 @@ def _pt_ac(v: int, al: int) -> int:
     return (abs(int(v)) >> al) * (1 if v >= 0 else -1)
 
 
-def _emit_dc_first(ops, comps, mcux, mcuy, al):
+def _emit_dc_first(ops, comps, mcux, mcuy, al, ri: int = 0):
     prev = [0] * len(comps)
-    for ci, by, bx in _mcu_block_order(comps, mcux, mcuy):
-        dc = int(comps[ci]["coef"][by, bx, 0]) >> al   # arith shift (spec)
-        s, bits = _magnitude(dc - prev[ci])
-        prev[ci] = dc
-        ops.sym(("dc", comps[ci]["tq"]), s)
-        ops.bits(bits, s)
+    for mcu_i, grp in enumerate(_mcu_groups(comps, mcux, mcuy)):
+        if ri and mcu_i and mcu_i % ri == 0:
+            ops.rst(mcu_i // ri - 1)
+            prev = [0] * len(comps)
+        for ci, by, bx in grp:
+            dc = int(comps[ci]["coef"][by, bx, 0]) >> al  # arith shift
+            s, bits = _magnitude(dc - prev[ci])
+            prev[ci] = dc
+            ops.sym(("dc", comps[ci]["tq"]), s)
+            ops.bits(bits, s)
 
 
-def _emit_dc_refine(ops, comps, mcux, mcuy, al):
-    for ci, by, bx in _mcu_block_order(comps, mcux, mcuy):
-        ops.bits((int(comps[ci]["coef"][by, bx, 0]) >> al) & 1, 1)
+def _emit_dc_refine(ops, comps, mcux, mcuy, al, ri: int = 0):
+    for mcu_i, grp in enumerate(_mcu_groups(comps, mcux, mcuy)):
+        if ri and mcu_i and mcu_i % ri == 0:
+            ops.rst(mcu_i // ri - 1)
+        for ci, by, bx in grp:
+            ops.bits((int(comps[ci]["coef"][by, bx, 0]) >> al) & 1, 1)
 
 
-def _emit_ac_first(ops, comp, tsel, ss, se, al):
+def _emit_ac_first(ops, comp, tsel, ss, se, al, ri: int = 0):
     eobrun = 0
+    mcu_i = -1
 
     def flush_eob():
         nonlocal eobrun
@@ -344,6 +391,10 @@ def _emit_ac_first(ops, comp, tsel, ss, se, al):
 
     for by in range(comp["nbh"]):
         for bx in range(comp["nbw"]):
+            mcu_i += 1
+            if ri and mcu_i and mcu_i % ri == 0:
+                flush_eob()
+                ops.rst(mcu_i // ri - 1)
             band = [_pt_ac(comp["coef"][by, bx, k], al)
                     for k in range(ss, se + 1)]
             if not any(band):
@@ -371,9 +422,10 @@ def _emit_ac_first(ops, comp, tsel, ss, se, al):
     flush_eob()
 
 
-def _emit_ac_refine(ops, comp, tsel, ss, se, al):
+def _emit_ac_refine(ops, comp, tsel, ss, se, al, ri: int = 0):
     eobrun = 0
     pending: list[int] = []
+    mcu_i = -1
 
     def flush_eob():
         nonlocal eobrun, pending
@@ -388,6 +440,10 @@ def _emit_ac_refine(ops, comp, tsel, ss, se, al):
 
     for by in range(comp["nbh"]):
         for bx in range(comp["nbw"]):
+            mcu_i += 1
+            if ri and mcu_i and mcu_i % ri == 0:
+                flush_eob()
+                ops.rst(mcu_i // ri - 1)
             vals = [int(comp["coef"][by, bx, k]) for k in range(ss, se + 1)]
             t = [abs(v) >> al for v in vals]
             hist = [(abs(v) >> (al + 1)) != 0 for v in vals]
@@ -441,7 +497,8 @@ def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
 
-def _headers(h, w, qt, comps, sof_marker: int) -> bytearray:
+def _headers(h, w, qt, comps, sof_marker: int,
+             restart_interval: int = 0) -> bytearray:
     out = bytearray(b"\xff\xd8")
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for tid in (0, 1):
@@ -452,6 +509,8 @@ def _headers(h, w, qt, comps, sof_marker: int) -> bytearray:
     for ci, c in enumerate(comps):
         body += bytes([ci + 1, (c["hi"] << 4) | c["vi"], c["tq"]])
     out += _seg(sof_marker, body)
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
     return out
 
 
@@ -473,29 +532,36 @@ def _sos_seg(comp_specs, ss, se, ah, al) -> bytes:
 
 
 def encode_jpeg(img: np.ndarray, *, quality: int = 90,
-                sampling: str = "444") -> bytes:
+                sampling: str = "444",
+                restart_interval: int = 0) -> bytes:
     """HxWx3 uint8 → baseline (SOF0) JFIF payload with 4:4:4 / 4:2:2 /
-    4:2:0 chroma sampling and per-image canonical Huffman tables. Pure
-    numpy; decodable by any baseline decoder."""
+    4:2:0 chroma sampling, optional DRI restart markers, and per-image
+    canonical Huffman tables. Pure numpy; decodable by any baseline
+    decoder."""
     h, w, _ = img.shape
+    ri = restart_interval
     comps, qt, mcux, mcuy = _quantized_components(img, quality, sampling)
     ops = _OpStream()
     prev = [0] * len(comps)
-    for ci, by, bx in _mcu_block_order(comps, mcux, mcuy):
-        tq = comps[ci]["tq"]
-        (s, bits), ac, prev[ci] = _block_symbols(
-            comps[ci]["coef"][by, bx], prev[ci])
-        ops.sym(("dc", tq), s)
-        ops.bits(bits, s)
-        for sym, vb, sz in ac:
-            ops.sym(("ac", tq), sym)
-            ops.bits(vb, sz)
+    for mcu_i, grp in enumerate(_mcu_groups(comps, mcux, mcuy)):
+        if ri and mcu_i and mcu_i % ri == 0:
+            ops.rst(mcu_i // ri - 1)
+            prev = [0] * len(comps)
+        for ci, by, bx in grp:
+            tq = comps[ci]["tq"]
+            (s, bits), ac, prev[ci] = _block_symbols(
+                comps[ci]["coef"][by, bx], prev[ci])
+            ops.sym(("dc", tq), s)
+            ops.bits(bits, s)
+            for sym, vb, sz in ac:
+                ops.sym(("ac", tq), sym)
+                ops.bits(vb, sz)
     tables = ops.tables()
     bw = _BitWriter()
     ops.emit(bw, tables)
     bw.flush()
 
-    out = _headers(h, w, qt, comps, 0xC0)
+    out = _headers(h, w, qt, comps, 0xC0, ri)
     out += _dht_segs(tables)
     out += _sos_seg([(ci + 1, c["tq"], c["tq"])
                      for ci, c in enumerate(comps)], 0, 63, 0, 0)
@@ -505,7 +571,8 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 90,
 
 
 def encode_jpeg_progressive(img: np.ndarray, *, quality: int = 90,
-                            sampling: str = "444") -> bytes:
+                            sampling: str = "444",
+                            restart_interval: int = 0) -> bytes:
     """HxWx3 uint8 → progressive (SOF2) JFIF payload with the classic
     4-phase scan script: interleaved DC first (Al=1) → DC refine →
     per-component AC first (1..63, Al=1) → per-component AC refine
@@ -514,8 +581,9 @@ def encode_jpeg_progressive(img: np.ndarray, *, quality: int = 90,
     need. Same quantized coefficients as :func:`encode_jpeg`, so both
     encodings decode to byte-identical pixels."""
     h, w, _ = img.shape
+    ri = restart_interval
     comps, qt, mcux, mcuy = _quantized_components(img, quality, sampling)
-    out = _headers(h, w, qt, comps, 0xC2)
+    out = _headers(h, w, qt, comps, 0xC2, ri)
 
     def scan(emit_fn, specs, ss, se, ah, al, *, needs_table=True):
         nonlocal out
@@ -530,15 +598,17 @@ def encode_jpeg_progressive(img: np.ndarray, *, quality: int = 90,
         out += bw.out
 
     all_specs = [(ci + 1, c["tq"], 0) for ci, c in enumerate(comps)]
-    scan(lambda o: _emit_dc_first(o, comps, mcux, mcuy, 1),
+    scan(lambda o: _emit_dc_first(o, comps, mcux, mcuy, 1, ri),
          all_specs, 0, 0, 0, 1)
-    scan(lambda o: _emit_dc_refine(o, comps, mcux, mcuy, 0),
+    scan(lambda o: _emit_dc_refine(o, comps, mcux, mcuy, 0, ri),
          all_specs, 0, 0, 1, 0, needs_table=False)
     for ci, c in enumerate(comps):
-        scan(lambda o, c=c: _emit_ac_first(o, c, ("ac", c["tq"]), 1, 63, 1),
+        scan(lambda o, c=c: _emit_ac_first(
+            o, c, ("ac", c["tq"]), 1, 63, 1, ri),
              [(ci + 1, 0, c["tq"])], 1, 63, 0, 1)
     for ci, c in enumerate(comps):
-        scan(lambda o, c=c: _emit_ac_refine(o, c, ("ac", c["tq"]), 1, 63, 0),
+        scan(lambda o, c=c: _emit_ac_refine(
+            o, c, ("ac", c["tq"]), 1, 63, 0, ri),
              [(ci + 1, 0, c["tq"])], 1, 63, 1, 0)
     out += b"\xff\xd9"
     return bytes(out)
@@ -596,6 +666,7 @@ def _parse_jpeg(payload: bytes):
     huff: dict[tuple[int, int], dict] = {}
     sof = None
     progressive = False
+    restart_interval = 0
     scans = []
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -642,8 +713,7 @@ def _parse_jpeg(payload: bytes):
                 f"unsupported JPEG mode (SOF{marker - 0xC0}; this decoder "
                 "handles SOF0 baseline and SOF2 progressive)")
         elif marker == 0xDD:
-            if int.from_bytes(body[:2], "big") != 0:
-                raise DecodeError("restart intervals unsupported")
+            restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:
             ncomp = body[0]
             specs = [(body[1 + 2 * i], body[2 + 2 * i] >> 4,
@@ -656,7 +726,7 @@ def _parse_jpeg(payload: bytes):
             end = _entropy_end(payload, data_start)
             scans.append({"specs": specs, "ss": ss, "se": se,
                           "ah": a >> 4, "al": a & 0x0F,
-                          "huff": dict(huff),
+                          "huff": dict(huff), "ri": restart_interval,
                           "data": payload[data_start:end]})
             pos = end
             continue
@@ -714,57 +784,73 @@ def _decode_scan(scan, info, coef, baseline):
             raise DecodeError(f"missing Huffman table ({tc},{th})")
         return t
 
+    ri = scan.get("ri", 0)
+
+    def scan_groups():
+        """One list of (scan_index, by, bx) per MCU (non-interleaved
+        scans: every block is its own MCU, T.81 §A.2.2)."""
+        if len(in_scan) > 1:
+            yield from _mcu_groups(
+                [{"hi": c["hi"], "vi": c["vi"]} for _, c, _, _ in in_scan],
+                mcux, mcuy)
+        else:
+            for item in _single_comp_order(in_scan[0][1], info):
+                yield [item]
+
     if baseline:
-        prev = [0] * len(comps)
-        order = (_mcu_block_order(
-            [{"hi": c["hi"], "vi": c["vi"]} for _, c, _, _ in in_scan],
-            mcux, mcuy) if len(in_scan) > 1
-            else _single_comp_order(in_scan[0][1], info))
-        for si, by, bx in order:
-            ci, c, td, ta = in_scan[si]
-            blk = coef[ci][by, bx]
-            s = _huff_decode(br, table(0, td))
-            prev[si] += _extend(br.read(s), s) if s else 0
-            blk[0] = prev[si]
-            k = 1
-            while k < 64:
-                sym = _huff_decode(br, table(1, ta))
-                if sym == 0x00:
-                    break
-                run, sz = sym >> 4, sym & 0x0F
-                if sz == 0:
-                    if run != 15:
-                        raise DecodeError("bad AC symbol")
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise DecodeError("AC run overflows block")
-                blk[k] = _extend(br.read(sz), sz)
-                k += 1
+        prev = [0] * len(in_scan)
+        for mcu_i, grp in enumerate(scan_groups()):
+            if ri and mcu_i and mcu_i % ri == 0:
+                br.align_restart(mcu_i // ri - 1)
+                prev = [0] * len(in_scan)
+            for si, by, bx in grp:
+                ci, c, td, ta = in_scan[si]
+                blk = coef[ci][by, bx]
+                s = _huff_decode(br, table(0, td))
+                prev[si] += _extend(br.read(s), s) if s else 0
+                blk[0] = prev[si]
+                k = 1
+                while k < 64:
+                    sym = _huff_decode(br, table(1, ta))
+                    if sym == 0x00:
+                        break
+                    run, sz = sym >> 4, sym & 0x0F
+                    if sz == 0:
+                        if run != 15:
+                            raise DecodeError("bad AC symbol")
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise DecodeError("AC run overflows block")
+                    blk[k] = _extend(br.read(sz), sz)
+                    k += 1
         return
 
     # --- progressive scans ---------------------------------------------
     if ss == 0:  # DC scan (se must be 0)
         if se != 0:
             raise DecodeError("progressive DC scan must have Se=0")
-        order = (_mcu_block_order(
-            [{"hi": c["hi"], "vi": c["vi"]} for _, c, _, _ in in_scan],
-            mcux, mcuy) if len(in_scan) > 1
-            else _single_comp_order(in_scan[0][1], info))
         if ah == 0:
             prev = [0] * len(in_scan)
-            for si, by, bx in order:
-                ci, c, td, ta = in_scan[si]
-                s = _huff_decode(br, table(0, td))
-                prev[si] += _extend(br.read(s), s) if s else 0
-                coef[ci][by, bx, 0] = prev[si] << al
+            for mcu_i, grp in enumerate(scan_groups()):
+                if ri and mcu_i and mcu_i % ri == 0:
+                    br.align_restart(mcu_i // ri - 1)
+                    prev = [0] * len(in_scan)
+                for si, by, bx in grp:
+                    ci, c, td, ta = in_scan[si]
+                    s = _huff_decode(br, table(0, td))
+                    prev[si] += _extend(br.read(s), s) if s else 0
+                    coef[ci][by, bx, 0] = prev[si] << al
         else:
             p1 = 1 << al
-            for si, by, bx in order:
-                ci = in_scan[si][0]
-                if br.read(1):
-                    coef[ci][by, bx, 0] |= p1
+            for mcu_i, grp in enumerate(scan_groups()):
+                if ri and mcu_i and mcu_i % ri == 0:
+                    br.align_restart(mcu_i // ri - 1)
+                for si, by, bx in grp:
+                    ci = in_scan[si][0]
+                    if br.read(1):
+                        coef[ci][by, bx, 0] |= p1
         return
 
     # AC scans are single-component, non-interleaved (T.81 G.1.1.1.1)
@@ -775,7 +861,10 @@ def _decode_scan(scan, info, coef, baseline):
     p1 = 1 << al
     eobrun = 0
     if ah == 0:  # AC first
-        for _, by, bx in _single_comp_order(c, info):
+        for mcu_i, (_, by, bx) in enumerate(_single_comp_order(c, info)):
+            if ri and mcu_i and mcu_i % ri == 0:
+                br.align_restart(mcu_i // ri - 1)
+                eobrun = 0
             blk = coef[ci][by, bx]
             if eobrun > 0:
                 eobrun -= 1
@@ -804,7 +893,10 @@ def _decode_scan(scan, info, coef, baseline):
         if br.read(1) and not (abs(int(blk[k])) & p1):
             blk[k] += p1 if blk[k] > 0 else -p1
 
-    for _, by, bx in _single_comp_order(c, info):
+    for mcu_i, (_, by, bx) in enumerate(_single_comp_order(c, info)):
+        if ri and mcu_i and mcu_i % ri == 0:
+            br.align_restart(mcu_i // ri - 1)
+            eobrun = 0
         blk = coef[ci][by, bx]
         k = ss
         if eobrun == 0:

@@ -8,8 +8,8 @@ tested, and five *real* pure-Python decoders are wired in: PPM P6,
 filters, CRC-verified), GIF87a/89a (full variable-width LZW), and JPEG
 (operators/jpeg.py — exact orthonormal DCT, canonical Huffman, SOF0
 baseline AND SOF2 progressive with spectral selection + successive
-approximation, 4:4:4/4:2:2/4:2:0 subsampling; restart markers and
-arithmetic coding are the declared DecodeError seam). WebP/AVIF-grade
+approximation, 4:4:4/4:2:2/4:2:0 subsampling, DRI restart markers;
+arithmetic coding is the declared DecodeError seam). WebP/AVIF-grade
 codecs remain the ``NotImplementedError`` seam; ``fake=True``
 additionally enables the deterministic pseudo-pixel decoder for
 plumbing tests over arbitrary payloads.
@@ -367,7 +367,7 @@ def synth_media_item(i: int) -> tuple:
     if i % 6 == 5:
         from .jpeg import encode_jpeg
         return ("m%04d" % i, "image/jpeg",
-                encode_jpeg(img, sampling="420"), w, h)
+                encode_jpeg(img, sampling="420", restart_interval=2), w, h)
     return ("m%04d" % i, "image/x-portable-pixmap", encode_ppm(img), w, h)
 
 

@@ -233,3 +233,73 @@ def test_mjpeg_splits_progressive_frames():
         dec = decode_jpeg(f)
         assert dec.shape == (6, 8, 3)
         assert np.abs(dec.astype(int) - im.astype(int)).mean() < 60
+
+
+def test_restart_markers_roundtrip():
+    """DRI restart intervals in BOTH modes: encoded streams carry real
+    RSTn markers (sequence-cycled, byte-aligned), decode resets DC/EOB
+    state correctly, and restart-interval encodes decode to EXACTLY the
+    same pixels as marker-free encodes (entropy framing must not change
+    the coefficients)."""
+    import numpy as np
+
+    from rdf_rdfxml_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive,
+    )
+    from rdf_rdfxml_spark.operators.multimodal import DecodeError
+    rng = np.random.default_rng(13)
+    for shape, sampling in [((17, 23), "444"), ((16, 16), "420"),
+                            ((9, 13), "422")]:
+        img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        plain = decode_jpeg(encode_jpeg(img, quality=85,
+                                        sampling=sampling))
+        for ri in (1, 2, 5):
+            b = encode_jpeg(img, quality=85, sampling=sampling,
+                            restart_interval=ri)
+            p = encode_jpeg_progressive(img, quality=85,
+                                        sampling=sampling,
+                                        restart_interval=ri)
+            assert b"\xff\xdd" in b  # DRI segment present
+            hmax = 2 if sampling != "444" else 1
+            vmax = 2 if sampling == "420" else 1
+            n_mcus = -(-shape[1] // (8 * hmax)) * -(-shape[0] // (8 * vmax))
+            if n_mcus > ri:  # restarts only exist between MCU groups
+                assert b"\xff\xd0" in b, (shape, sampling, ri)
+            assert (decode_jpeg(b) == plain).all(), (shape, sampling, ri)
+            assert (decode_jpeg(p) == plain).all(), (shape, sampling, ri)
+
+    # out-of-sequence restart marker must be a typed error
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    b = bytearray(encode_jpeg(img, restart_interval=1))
+    i = b.find(b"\xff\xd0")
+    assert i > 0
+    b[i + 1] = 0xD3  # RST0 → RST3
+    import pytest
+    with pytest.raises(DecodeError, match="out of sequence"):
+        decode_jpeg(bytes(b))
+
+
+def test_restart_fuzz_stays_typed():
+    """Bit flips over a restart-interval progressive stream stay inside
+    the DecodeError contract (markers add new parser states)."""
+    import numpy as np
+    import pytest  # noqa: F401
+
+    from rdf_rdfxml_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg_progressive,
+    )
+    from rdf_rdfxml_spark.operators.multimodal import DecodeError
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 256, size=(10, 14, 3), dtype=np.uint8)
+    payload = encode_jpeg_progressive(img, restart_interval=2)
+    for _ in range(300):
+        b = bytearray(payload)
+        j = int(rng.integers(2, len(b) - 2))
+        b[j] ^= 1 << int(rng.integers(0, 8))
+        try:
+            decode_jpeg(bytes(b))
+        except DecodeError:
+            pass
+        except Exception as e:  # noqa: BLE001
+            raise AssertionError(
+                f"untyped escape at byte {j}: {type(e).__name__}: {e}")
