@@ -55,8 +55,16 @@ def main(argv=None):
     ap.add_argument("--input", required=True,
                     help="documents parquet path (repo,path,commit,lang,content)")
     ap.add_argument("--output", required=True)
-    ap.add_argument("--format", choices=["parquet", "ntriples"],
-                    default="parquet")
+    ap.add_argument("--format", choices=["parquet", "ntriples", "rdfxml"],
+                    default="parquet",
+                    help="rdfxml re-serializes one RDF/XML document per "
+                         "source doc (the reference writer's CLI role, "
+                         "script/serialize) into parquet (doc_sha, xml)")
+    ap.add_argument("--writer-attributes", choices=["none", "untyped",
+                                                    "typed"],
+                    default="none",
+                    help="rdfxml format: property-attribute folding mode "
+                         "(writer.rb prop_partition)")
     ap.add_argument("--errors-output", default=None)
     ap.add_argument("--base-uri", default="")
     ap.add_argument("--no-strict", action="store_true",
@@ -97,6 +105,16 @@ def main(argv=None):
             with_bucket(g.triples, args.buckets).write.mode("overwrite") \
                 .partitionBy("bucket").parquet(args.output)
             n = spark.read.parquet(args.output).count()
+        elif args.format == "rdfxml":
+            from .writer.serialize import write_rdfxml
+            t = g.triples.select("doc_sha", "s", "s_kind", "p", "o",
+                                 "o_kind", "o_lang", "o_dt")
+            xml = write_rdfxml(t, group_cols=("doc_sha",),
+                               attributes=args.writer_attributes,
+                               base_uri=args.base_uri or None)
+            xml.write.mode("overwrite").parquet(args.output)
+            # the throughput line counts statements, as the reference does
+            n = g.triples.count()
         else:
             nt = _nt_lines(g.triples)
             nt.write.mode("overwrite").text(args.output)
