@@ -188,3 +188,49 @@ def test_fuzz_purexml_never_laxer():
         elif a is not XMLParseError and p is not XMLParseError:
             assert a == p, f"tree divergence on mutation {bytes(b)[:60]!r}"
     assert not laxer, f"purexml laxer than expat on {laxer[:2]}"
+
+
+def test_hypothesis_structured_differential():
+    """Property-based differential: random WELL-FORMED documents built
+    from a structured generator (nested elements, namespaces, entities,
+    CDATA, comments, attribute edge characters) must parse to identical
+    trees under both adapters — covers shapes byte-mutation fuzz never
+    reaches."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    names = st.sampled_from(["a", "b", "ex:p", "ex:q", "data", "x1"])
+    texts = st.sampled_from(
+        ["", "plain", "a &lt; b", "tab\there", "x &amp;&#65; y",
+         "line\nbreak", "]] >", "é世界", "&who;"])
+    attr_vals = st.sampled_from(
+        ["v", "a&amp;b", "sp  ace", "tab\tchar", "&#x41;bc", "q'q", "é"])
+
+    @st.composite
+    def element(draw, depth=0):
+        name = draw(names)
+        attrs = draw(st.lists(
+            st.tuples(st.sampled_from(["k", "ex:k", "n", "xml:lang"]),
+                      attr_vals),
+            max_size=3, unique_by=lambda t: t[0]))
+        a_str = "".join(f' {k}="{v}"' for k, v in attrs)
+        if depth >= 3 or draw(st.booleans()):
+            body = draw(texts)
+        else:
+            kids = draw(st.lists(element(depth=depth + 1), max_size=3))
+            body = draw(texts) + "".join(kids)
+        extra = draw(st.sampled_from(
+            ["", "<!-- c -->", "<![CDATA[<raw>&]]>", "<?pi data?>"]))
+        return f"<{name}{a_str}>{body}{extra}</{name}>"
+
+    @given(element())
+    @settings(max_examples=150, deadline=None)
+    def run(root_body):
+        doc = ('<?xml version="1.0"?>'
+               '<!DOCTYPE r [<!ENTITY who "World &amp; co">]>'
+               f'<r xmlns:ex="http://e/">{root_body}</r>')
+        a, b = both(doc)
+        assert a == b, doc[:160]
+        assert a is not XMLParseError, doc[:160]
+
+    run()
