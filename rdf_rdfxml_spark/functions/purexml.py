@@ -379,7 +379,22 @@ class _Parser:
 
 def parse_document_py(content):
     """Pure-Python twin of :func:`~.xmldom.parse_document` — same tree,
-    same typed error. See module docstring for scope."""
+    same typed error. Any internal slip on hostile input is wrapped into
+    ``XMLParseError`` so the per-document isolation contract holds for
+    this adapter exactly as for expat (fuzz-enforced)."""
+    from .xmldom import XMLParseError
+    try:
+        return _parse_document_py(content)
+    except XMLParseError:
+        raise
+    except RecursionError:
+        raise XMLParseError("document exceeds parser recursion budget")
+    except Exception as e:
+        raise XMLParseError(
+            f"malformed XML ({type(e).__name__}: {e})") from e
+
+
+def _parse_document_py(content):
     from .xmldom import Element, Text, XMLParseError  # shared node types
 
     if isinstance(content, (bytes, bytearray)):

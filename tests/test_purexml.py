@@ -234,3 +234,31 @@ def test_hypothesis_structured_differential():
         assert a is not XMLParseError, doc[:160]
 
     run()
+
+
+def test_arbitrary_bytes_never_raise_python_adapter(monkeypatch):
+    """The never-raise isolation contract must hold with the python
+    adapter driving the grammar: hostile byte blobs become error rows,
+    never exceptions (same battery as the expat path)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rdf_rdfxml_spark import parse_rdfxml
+
+    monkeypatch.setenv("RDFXML_SPARK_XML_LIBRARY", "python")
+
+    @given(st.one_of(
+        st.binary(max_size=300),
+        st.text(max_size=300).map(lambda t: t.encode("utf-8", "ignore")),
+        st.sampled_from([
+            b'<?xml version="1.0"?><!DOCTYPE r [<!ENTITY',
+            b"<a b=]]><c>&#xD800;</c>",
+            b"\xff\xfe<\x00a\x00",
+            b"<!DOCTYPE r SYSTEM 'u' [<!ENTITY % p '<!---->'>%p;]><r/>",
+        ])))
+    @settings(max_examples=300, deadline=None)
+    def run(data):
+        triples, errors = parse_rdfxml(data, doc_key="fz", strict=True)
+        assert isinstance(triples, list) and isinstance(errors, list)
+
+    run()
