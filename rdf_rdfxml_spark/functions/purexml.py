@@ -395,7 +395,7 @@ def parse_document_py(content):
 
 
 def _parse_document_py(content):
-    from .xmldom import Element, Text, XMLParseError  # shared node types
+    from .xmldom import Element, Text  # shared node types
 
     if isinstance(content, (bytes, bytearray)):
         text = _decode_bytes(bytes(content))
