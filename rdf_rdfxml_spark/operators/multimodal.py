@@ -159,12 +159,50 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+#: Adam7 interlace passes: (x0, y0, dx, dy) per PNG §8.2
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_unfilter(raw: bytes, off: int, h: int, stride: int,
+                  ch: int) -> np.ndarray:
+    """Undo the five scanline filters over ``h`` rows of ``stride`` bytes
+    starting at ``off`` (each row prefixed by its filter byte); returns
+    (h, stride) uint8."""
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        base = off + y * (stride + 1)
+        f = raw[base]
+        cur = np.frombuffer(raw, np.uint8, stride, base + 1).astype(np.int32)
+        if f == 0:
+            pass
+        elif f == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif f == 1:  # Sub (serial in x)
+            for x in range(ch, stride):
+                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (cur[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                c = int(prev[x - ch]) if x >= ch else 0
+                cur[x] = (cur[x] + _paeth(a, int(prev[x]), c)) & 0xFF
+        else:
+            raise DecodeError(f"bad PNG filter byte {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG → HxWx3 uint8. Real decoder, pure stdlib zlib: 8-bit depth,
-    color types 0 (gray) / 2 (RGB) / 6 (RGBA, alpha dropped),
-    non-interlaced, all five scanline filters (None/Sub/Up/Average/Paeth),
-    chunk CRCs verified. Closes the round-2 'compressed formats' seam for
-    PNG — only JPEG (needs a DCT codec) remains environment-limited."""
+    color types 0 (gray) / 2 (RGB) / 6 (RGBA, alpha dropped), all five
+    scanline filters (None/Sub/Up/Average/Paeth), Adam7 interlacing,
+    chunk CRCs verified."""
     if payload[:8] != PNG_SIG:
         raise DecodeError("not a PNG")
     pos, ihdr, idat = 8, None, []
@@ -189,7 +227,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, ct, comp, filt, interlace = ihdr[8:13]
-    if depth != 8 or ct not in (0, 2, 6) or comp or filt or interlace:
+    if depth != 8 or ct not in (0, 2, 6) or comp or filt \
+            or interlace not in (0, 1):
         raise DecodeError(
             f"unsupported PNG (depth={depth}, color={ct}, "
             f"interlace={interlace})")
@@ -198,8 +237,18 @@ def decode_png(payload: bytes) -> np.ndarray:
     if w * h > MAX_PIXELS:
         raise DecodeError(f"PNG raster {w}x{h} exceeds {MAX_PIXELS} px cap")
     ch = {0: 1, 2: 3, 6: 4}[ct]
-    stride = w * ch
-    expected = (stride + 1) * h
+    if interlace:
+        # Adam7: each non-empty pass is its own filtered sub-image
+        passes = []
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw and ph:
+                passes.append((x0, y0, dx, dy, pw, ph))
+        expected = sum((pw * ch + 1) * ph
+                       for _, _, _, _, pw, ph in passes)
+    else:
+        expected = (w * ch + 1) * h
     # Bounded inflate (round-3 ADVICE): cap the output at the declared
     # raster size so a decompression bomb raises DecodeError instead of
     # exhausting executor memory mid-inflate.
@@ -213,33 +262,15 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"PNG IDAT inflates past declared raster size {expected}")
     if len(raw) != expected:
         raise DecodeError(f"PNG raster size {len(raw)} != {expected}")
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        f = raw[y * (stride + 1)]
-        cur = np.frombuffer(raw, np.uint8, stride,
-                            y * (stride + 1) + 1).astype(np.int32)
-        if f == 0:
-            pass
-        elif f == 2:  # Up
-            cur = (cur + prev) & 0xFF
-        elif f == 1:  # Sub (serial in x)
-            for x in range(ch, stride):
-                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
-        elif f == 3:  # Average
-            for x in range(stride):
-                left = cur[x - ch] if x >= ch else 0
-                cur[x] = (cur[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                a = int(cur[x - ch]) if x >= ch else 0
-                c = int(prev[x - ch]) if x >= ch else 0
-                cur[x] = (cur[x] + _paeth(a, int(prev[x]), c)) & 0xFF
-        else:
-            raise DecodeError(f"bad PNG filter byte {f}")
-        out[y] = cur.astype(np.uint8)
-        prev = cur
-    img = out.reshape(h, w, ch)
+    if interlace:
+        img = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            sub = _png_unfilter(raw, off, ph, pw * ch, ch)
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+            off += (pw * ch + 1) * ph
+    else:
+        img = _png_unfilter(raw, 0, h, w * ch, ch).reshape(h, w, ch)
     if ch == 1:
         return np.repeat(img, 3, axis=2)
     if ch == 4:
@@ -959,8 +990,8 @@ def encode_gif(img: np.ndarray) -> bytes:
 def decode_gif(payload: bytes) -> np.ndarray:
     """GIF87a/89a → HxWx3 uint8. Real pure-Python decoder: global/local
     color tables, full variable-width LZW (dictionary growth to 4096,
-    CLEAR/END handling), extension blocks skipped; interlaced images and
-    transparency composition are out of scope (DecodeError)."""
+    CLEAR/END handling), extension blocks skipped, four-pass interlaced
+    row order; transparency composition is out of scope."""
     if payload[:6] not in GIF_SIGS:
         raise DecodeError("not a GIF")
     if len(payload) < 13:
@@ -992,8 +1023,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
         h = int.from_bytes(payload[pos + 7:pos + 9], "little")
         iflags = payload[pos + 9]
         pos += 10
-        if iflags & 0x40:
-            raise DecodeError("interlaced GIF unsupported")
+        interlaced = bool(iflags & 0x40)
         if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
             raise DecodeError(f"GIF raster {w}x{h} outside pixel cap")
         pal = gct
@@ -1068,5 +1098,13 @@ def decode_gif(payload: bytes) -> np.ndarray:
         idx = np.frombuffer(bytes(out), dtype=np.uint8)
         if idx.max(initial=0) >= len(pal):
             raise DecodeError("GIF index beyond color table")
-        return pal[idx].reshape(h, w, 3).copy()
+        img = pal[idx].reshape(h, w, 3)
+        if interlaced:
+            # GIF87a appendix E: rows stored in four passes
+            order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                     + [*range(2, h, 4)] + [*range(1, h, 2)])
+            deint = np.empty_like(img)
+            deint[order] = img
+            return deint
+        return img.copy()
     raise DecodeError(f"no image data in GIF ({sw}x{sh} screen)")

@@ -722,3 +722,59 @@ def test_cli_rdfxml_format(spark, tmp_path):
     for r in got.collect()[:20]:
         triples, errors = parse_rdfxml(r["xml"], doc_key=r["doc_sha"])
         assert not errors and triples
+
+
+def test_png_adam7_interlace_decode():
+    """Adam7-interlaced PNG reconstructs pixel-exactly: a hand-built
+    interlaced payload (7 passes, filter-0 rows) must decode equal to
+    the plain encoding of the same image."""
+    import zlib
+
+    import numpy as np
+
+    from rdf_rdfxml_spark.operators.multimodal import (
+        _ADAM7, decode_png,
+    )
+
+    def chunk(t, d):
+        return (len(d).to_bytes(4, "big") + t + d
+                + (zlib.crc32(t + d) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    rng = np.random.default_rng(21)
+    for h, w in [(9, 13), (8, 8), (1, 5), (3, 2), (16, 17)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        raw = b""
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for row in sub:
+                raw += b"\x00" + row.tobytes()
+        ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + bytes([8, 2, 0, 0, 1]))  # interlace=1
+        payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                   + chunk(b"IDAT", zlib.compress(raw))
+                   + chunk(b"IEND", b""))
+        assert (decode_png(payload) == img).all(), (h, w)
+
+
+def test_gif_interlace_decode():
+    """Interlaced GIF: encode the image with rows pre-ordered into the
+    four passes and the interlace flag set — decode must reorder back to
+    the original."""
+    import numpy as np
+
+    from rdf_rdfxml_spark.operators.multimodal import (
+        decode_gif, encode_gif,
+    )
+    rng = np.random.default_rng(22)
+    for h, w in [(11, 7), (8, 8), (3, 4), (17, 5)]:
+        img = (rng.integers(0, 4, size=(h, w, 1), dtype=np.uint8)
+               .repeat(3, axis=2) * 60)
+        order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                 + [*range(2, h, 4)] + [*range(1, h, 2)])
+        g = bytearray(encode_gif(img[order]))
+        i = 13 + 3 * (2 << (g[10] & 0x07)) if g[10] & 0x80 else 13
+        assert g[i] == 0x2C
+        g[i + 9] |= 0x40  # set the interlace flag
+        assert (decode_gif(bytes(g)) == img).all(), (h, w)
