@@ -1,0 +1,446 @@
+"""FLAC decode/encode in pure Python — the lossless audio codec real
+corpora actually carry, extending the audio suite past RIFF/WAVE
+(PCM/G.711/ADPCM, multimodal.py).
+
+Scope (declared): native FLAC streams — STREAMINFO + skipped metadata
+blocks, frame sync with CRC-8-checked headers and CRC-16-checked frames,
+UTF-8-coded frame numbers, all four channel assignments (independent,
+left/side, right/side, mid/side), subframe types CONSTANT / VERBATIM /
+FIXED (orders 0-4) / LPC (any order), wasted bits, Rice/Rice2 residual
+partitions including escape-coded raw partitions. Ogg-encapsulated FLAC
+is out of scope (``DecodeError``).
+
+The encoder emits VERBATIM or FIXED-predicted subframes with Rice
+residuals — enough to round-trip any PCM input LOSSLESSLY, which is the
+test contract: ``decode(encode(x)) == x`` exactly, plus CRC/framing
+checks a foreign decoder would apply. Typed-error contract as everywhere
+in the multimodal suite: malformed payloads raise
+:class:`~.multimodal.DecodeError`, fuzz-enforced.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .multimodal import DecodeError
+
+MAX_SAMPLES = 64 * 1024 * 1024  # executor-safety bound (≈4 min 48k stereo)
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos          # byte position
+        self.acc = 0
+        self.n = 0
+
+    def read(self, length: int) -> int:
+        while self.n < length:
+            if self.pos >= len(self.data):
+                raise DecodeError("FLAC bitstream exhausted")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.n += 8
+        self.n -= length
+        out = (self.acc >> self.n) & ((1 << length) - 1)
+        self.acc &= (1 << self.n) - 1
+        return out
+
+    def read_signed(self, length: int) -> int:
+        v = self.read(length)
+        return v - (1 << length) if v >= (1 << (length - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 24:
+                raise DecodeError("runaway unary code in FLAC stream")
+        return q
+
+    def align(self):
+        self.acc = 0
+        self.n = 0
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int):
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            self.out.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def align(self):
+        if self.n:
+            self.write(0, 8 - self.n)
+
+
+_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _read_utf8_number(br: _BitReader) -> int:
+    first = br.read(8)
+    if first < 0x80:
+        return first
+    ones = 0
+    while ones < 8 and (first << ones) & 0x80:
+        ones += 1
+    if ones < 2 or ones > 7:
+        raise DecodeError("bad UTF-8-coded frame number")
+    val = first & (0x7F >> ones)
+    for _ in range(ones - 1):
+        b = br.read(8)
+        if b & 0xC0 != 0x80:
+            raise DecodeError("bad UTF-8-coded frame number continuation")
+        val = (val << 6) | (b & 0x3F)
+    return val
+
+
+_BLOCKSIZE = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+              8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+              13: 8192, 14: 16384, 15: 32768}
+_RATES = {0: None, 1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+          6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000}
+_BPS = {0: None, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _decode_residual(br: _BitReader, blocksize: int, order: int) -> list:
+    method = br.read(2)
+    if method > 1:
+        raise DecodeError(f"reserved FLAC residual method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = br.read(4)
+    nparts = 1 << porder
+    if blocksize % nparts or blocksize // nparts <= order and nparts > 1:
+        if blocksize >> porder < 1:
+            raise DecodeError("bad FLAC partition order")
+    out = []
+    for p in range(nparts):
+        count = (blocksize >> porder) - (order if p == 0 else 0)
+        if count < 0:
+            raise DecodeError("FLAC partition smaller than predictor order")
+        param = br.read(pbits)
+        if param == escape:
+            raw = br.read(5)
+            out.extend(br.read_signed(raw) if raw else 0
+                       for _ in range(count))
+        else:
+            for _ in range(count):
+                q = br.unary()
+                r = br.read(param) if param else 0
+                v = (q << param) | r
+                out.append((v >> 1) ^ -(v & 1))   # unzigzag
+    return out
+
+
+def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> np.ndarray:
+    if br.read(1):
+        raise DecodeError("bad FLAC subframe padding bit")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = 1 + br.unary()
+    eff = bps - wasted
+    if eff <= 0 or eff > 33:
+        raise DecodeError(f"bad FLAC effective sample size {eff}")
+    if stype == 0:                      # CONSTANT
+        v = br.read_signed(eff)
+        s = np.full(blocksize, v, dtype=np.int64)
+    elif stype == 1:                    # VERBATIM
+        s = np.array([br.read_signed(eff) for _ in range(blocksize)],
+                     dtype=np.int64)
+    elif 8 <= stype <= 12:              # FIXED, order 0-4
+        order = stype - 8
+        if order > blocksize:
+            raise DecodeError("FLAC predictor order exceeds blocksize")
+        warm = [br.read_signed(eff) for _ in range(order)]
+        resid = _decode_residual(br, blocksize, order)
+        s = warm + [0] * (blocksize - order)
+        coefs = _FIXED_COEFS[order]
+        for i in range(order, blocksize):
+            pred = sum(c * s[i - 1 - j] for j, c in enumerate(coefs))
+            s[i] = pred + resid[i - order]
+        s = np.array(s, dtype=np.int64)
+    elif stype >= 32:                   # LPC, order = low 5 bits + 1
+        order = (stype & 0x1F) + 1
+        if order > blocksize:
+            raise DecodeError("FLAC LPC order exceeds blocksize")
+        warm = [br.read_signed(eff) for _ in range(order)]
+        prec = br.read(4)
+        if prec == 15:
+            raise DecodeError("invalid FLAC qlp precision")
+        prec += 1
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise DecodeError("negative FLAC qlp shift")
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        resid = _decode_residual(br, blocksize, order)
+        s = warm + [0] * (blocksize - order)
+        for i in range(order, blocksize):
+            pred = sum(c * s[i - 1 - j] for j, c in enumerate(coefs))
+            s[i] = (pred >> shift) + resid[i - order]
+        s = np.array(s, dtype=np.int64)
+    else:
+        raise DecodeError(f"reserved FLAC subframe type {stype}")
+    return s << wasted
+
+
+def decode_flac(payload: bytes):
+    """FLAC → (samples int32 ndarray [n, channels], sample_rate, bps)."""
+    if payload[:4] != b"fLaC":
+        raise DecodeError("not a native FLAC stream")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(payload):
+            raise DecodeError("truncated FLAC metadata")
+        hdr = payload[pos]
+        last, btype = hdr >> 7, hdr & 0x7F
+        ln = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        body = payload[pos + 4:pos + 4 + ln]
+        if len(body) != ln:
+            raise DecodeError("truncated FLAC metadata block")
+        if btype == 0:
+            if ln != 34:
+                raise DecodeError("bad STREAMINFO length")
+            streaminfo = body
+        elif btype == 127:
+            raise DecodeError("invalid FLAC metadata block type")
+        pos += 4 + ln
+        if last:
+            break
+    if streaminfo is None:
+        raise DecodeError("missing FLAC STREAMINFO")
+    si = int.from_bytes(streaminfo, "big")
+    # layout (from bit 271 down): see RFC 9639 §8.2
+    rate = (si >> (34 * 8 - 16 - 16 - 24 - 24 - 20)) & 0xFFFFF
+    channels = ((si >> (34 * 8 - 16 - 16 - 24 - 24 - 20 - 3)) & 0x7) + 1
+    bps = ((si >> (34 * 8 - 16 - 16 - 24 - 24 - 20 - 3 - 5)) & 0x1F) + 1
+    total = (si >> (34 * 8 - 16 - 16 - 24 - 24 - 20 - 3 - 5 - 36)) \
+        & ((1 << 36) - 1)
+    if rate == 0 or channels < 1 or channels > 8:
+        raise DecodeError("bad STREAMINFO parameters")
+    if total > MAX_SAMPLES:
+        raise DecodeError(f"FLAC stream exceeds {MAX_SAMPLES} sample cap")
+
+    out: list = []
+    n_out = 0
+    while pos < len(payload):
+        frame_start = pos
+        br = _BitReader(payload, pos)
+        sync = br.read(14)
+        if sync != 0x3FFE:
+            raise DecodeError(f"bad FLAC frame sync at byte {frame_start}")
+        if br.read(1):
+            raise DecodeError("reserved FLAC frame bit set")
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        ss_code = br.read(3)
+        if br.read(1):
+            raise DecodeError("reserved FLAC frame bit set")
+        _read_utf8_number(br)
+        if bs_code == 0:
+            raise DecodeError("reserved FLAC blocksize code")
+        elif bs_code == 6:
+            blocksize = br.read(8) + 1
+        elif bs_code == 7:
+            blocksize = br.read(16) + 1
+        else:
+            blocksize = _BLOCKSIZE[bs_code]
+        if sr_code == 12:
+            br.read(8)
+        elif sr_code in (13, 14):
+            br.read(16)
+        elif sr_code == 15:
+            raise DecodeError("invalid FLAC sample rate code")
+        fbps = _BPS.get(ss_code)
+        if ss_code in (3,):
+            raise DecodeError("reserved FLAC sample size code")
+        if fbps is None:
+            fbps = bps
+        hdr_crc = br.read(8)
+        if _crc8(payload[frame_start:br.pos - 1]) != hdr_crc:
+            raise DecodeError("FLAC frame header CRC mismatch")
+
+        if ch_code < 8:
+            nch = ch_code + 1
+            kinds = ["indep"] * nch
+        elif ch_code == 8:
+            nch, kinds = 2, ["left", "side"]
+        elif ch_code == 9:
+            nch, kinds = 2, ["side", "right"]
+        elif ch_code == 10:
+            nch, kinds = 2, ["mid", "side"]
+        else:
+            raise DecodeError(f"reserved FLAC channel assignment {ch_code}")
+        if nch != channels:
+            raise DecodeError("frame channel count != STREAMINFO")
+        n_out += blocksize
+        if n_out > MAX_SAMPLES:
+            raise DecodeError(f"FLAC stream exceeds {MAX_SAMPLES} samples")
+
+        subs = []
+        for kind in kinds:
+            ch_bps = fbps + (1 if kind == "side" else 0)
+            subs.append(_decode_subframe(br, blocksize, ch_bps))
+        br.align()
+        frame_crc = br.read(16)
+        if _crc16(payload[frame_start:br.pos - 2]) != frame_crc:
+            raise DecodeError("FLAC frame CRC-16 mismatch")
+        pos = br.pos
+
+        if ch_code == 8:       # left/side: R = L - side
+            subs = [subs[0], subs[0] - subs[1]]
+        elif ch_code == 9:     # side/right: L = R + side
+            subs = [subs[1] + subs[0], subs[1]]
+        elif ch_code == 10:    # mid/side
+            mid, side = subs
+            m2 = (mid << 1) | (side & 1)
+            subs = [(m2 + side) >> 1, (m2 - side) >> 1]
+        out.append(np.stack(subs, axis=1))
+    if not out:
+        raise DecodeError("FLAC stream has no frames")
+    samples = np.concatenate(out, axis=0)
+    if total and samples.shape[0] > total:
+        samples = samples[:total]
+    return samples.astype(np.int32), rate, bps
+
+
+# --- encoder (verbatim / fixed + rice; lossless round-trip helper) ---------
+
+def _encode_residual(bw: _BitWriter, resid: list):
+    # single partition (porder 0), one rice parameter chosen from the mean
+    bw.write(0, 2)             # method: rice, 4-bit params
+    bw.write(0, 4)             # partition order 0
+    mean = max(1, int(sum(abs(r) for r in resid) / max(1, len(resid))))
+    param = min(14, max(0, mean.bit_length()))
+    bw.write(param, 4)
+    for r in resid:
+        v = (abs(r) << 1) - (1 if r < 0 else 0)  # zigzag
+        q, rem = v >> param, v & ((1 << param) - 1)
+        if q > 1 << 20:
+            raise DecodeError("rice parameter blow-up (encoder)")
+        for _ in range(q):
+            bw.write(0, 1)
+        bw.write(1, 1)
+        if param:
+            bw.write(rem, param)
+
+
+def _encode_subframe(bw: _BitWriter, s: np.ndarray, bps: int,
+                     fixed_order: int):
+    s = [int(x) for x in s]
+    order = min(fixed_order, len(s))
+    bw.write(0, 1)
+    if order == 0 and len(set(s)) == 1:
+        bw.write(0, 6)                       # CONSTANT
+        bw.write(0, 1)
+        bw.write(s[0] & ((1 << bps) - 1), bps)
+        return
+    if fixed_order < 0:
+        bw.write(1, 6)                       # VERBATIM
+        bw.write(0, 1)
+        for v in s:
+            bw.write(v & ((1 << bps) - 1), bps)
+        return
+    bw.write(8 + order, 6)                   # FIXED
+    bw.write(0, 1)                           # no wasted bits
+    for v in s[:order]:
+        bw.write(v & ((1 << bps) - 1), bps)
+    coefs = _FIXED_COEFS[order]
+    resid = [s[i] - sum(c * s[i - 1 - j] for j, c in enumerate(coefs))
+             for i in range(order, len(s))]
+    _encode_residual(bw, resid)
+
+
+def encode_flac(samples: np.ndarray, rate: int, *, bps: int = 16,
+                blocksize: int = 1024, fixed_order: int = 2) -> bytes:
+    """(n, channels) int → native FLAC payload (independent channels,
+    FIXED predictors with Rice residuals, or VERBATIM when
+    ``fixed_order`` < 0). Lossless by construction — the round-trip test
+    contract."""
+    if samples.ndim != 2:
+        raise ValueError("samples must be (n, channels)")
+    n, channels = samples.shape
+    out = bytearray(b"fLaC")
+    si = 0
+    si = (si << 16) | blocksize
+    si = (si << 16) | blocksize
+    si = (si << 24) | 0
+    si = (si << 24) | 0
+    si = (si << 20) | rate
+    si = (si << 3) | (channels - 1)
+    si = (si << 5) | (bps - 1)
+    si = (si << 36) | n
+    si <<= 128                                 # md5 unset
+    out += bytes([0x80, 0, 0, 34]) + si.to_bytes(34, "big")
+
+    ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}.get(bps)
+    if ss_code is None:
+        raise ValueError(f"unsupported bps {bps}")
+    for fi, start in enumerate(range(0, n, blocksize)):
+        blk = samples[start:start + blocksize]
+        bw = _BitWriter()
+        bw.write(0x3FFE, 14)
+        bw.write(0, 1)
+        bw.write(0, 1)                 # fixed blocksize strategy
+        bw.write(7, 4)                 # blocksize: 16-bit at end - 1
+        bw.write(0, 4)                 # rate: from STREAMINFO
+        bw.write(channels - 1, 4)      # independent channels
+        bw.write(ss_code, 3)
+        bw.write(0, 1)
+        # UTF-8-coded frame number (supports up to 2^31 frames)
+        fn = fi
+        if fn < 0x80:
+            bw.write(fn, 8)
+        else:
+            chunks = []
+            while fn >= 0x40 or len(chunks) == 0:
+                chunks.append(0x80 | (fn & 0x3F))
+                fn >>= 6
+                if fn < (0x7F >> (len(chunks) + 1)):
+                    break
+            ones = len(chunks) + 1
+            bw.write((0xFF << (8 - ones)) & 0xFF | fn, 8)
+            for c in reversed(chunks):
+                bw.write(c, 8)
+        bw.write(len(blk) - 1, 16)
+        bw.align()
+        hdr = bytes(bw.out)
+        bw.write(_crc8(hdr), 8)
+        for c in range(channels):
+            _encode_subframe(bw, blk[:, c], bps, fixed_order)
+        bw.align()
+        body = bytes(bw.out)
+        bw.write(_crc16(body), 16)
+        out += bw.out
+    return bytes(out)

@@ -685,6 +685,22 @@ def _decode_wav_checked(payload: bytes) -> tuple:
             f"malformed WAV payload: {type(e).__name__}: {e}") from e
 
 
+def _decode_audio_checked(payload: bytes) -> tuple:
+    """Audio container dispatch (RIFF/WAVE or native FLAC) with the
+    typed-error guarantee — the shared entry for the feature UDF."""
+    if payload[:4] == b"fLaC":
+        from .flac import decode_flac
+        try:
+            samples, rate, _bps = decode_flac(payload)
+        except DecodeError:
+            raise
+        except Exception as e:
+            raise DecodeError(
+                f"malformed FLAC payload: {type(e).__name__}: {e}") from e
+        return samples, rate
+    return _decode_wav_checked(payload)
+
+
 def _mulaw_decode(b: np.ndarray) -> np.ndarray:
     """G.711 mu-law bytes → int16 (table-free reference formula)."""
     u = (~b) & 0xFF
@@ -876,7 +892,8 @@ def audio_features(media: DataFrame, *,
                                     pdf[payload_col].values):
                 out["media_id"].append(mid)
                 try:
-                    samples, rate = _decode_wav_checked(bytes(payload or b""))
+                    samples, rate = _decode_audio_checked(
+                        bytes(payload or b""))
                     out["duration_ms"].append(
                         int(samples.shape[0] * 1000 // rate))
                     out["rms"].append(round(float(np.sqrt(
@@ -899,21 +916,28 @@ def audio_features(media: DataFrame, *,
 
 def synth_audio(spark, n: int = 8, rate: int = 8000,
                 ms: int = 50) -> DataFrame:
-    """Deterministic synthetic WAV table (sine tones, no external data).
-    Codecs rotate PCM / mu-law / A-law / IMA-ADPCM so the compressed
-    audio decode paths run through the distributed feature UDF too."""
+    """Deterministic synthetic audio table (sine tones, no external
+    data). Codecs rotate PCM / mu-law / A-law / IMA-ADPCM WAV and
+    native FLAC so every compressed audio decode path runs through the
+    distributed feature UDF."""
     rows = []
     for i in range(n):
         t = np.arange(int(rate * ms / 1000)) / rate
         freq = 220.0 * (i + 1)
         wave = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
-        codec = (None, "mulaw", "alaw", "adpcm")[i % 4]
+        codec = (None, "mulaw", "alaw", "adpcm", "flac")[i % 5]
+        mime = "audio/wav"
         if codec is None:
             payload = encode_wav(wave.reshape(-1, 1), rate)
+        elif codec == "flac":
+            from .flac import encode_flac
+            payload = encode_flac(wave.reshape(-1, 1).astype(np.int32),
+                                  rate)
+            mime = "audio/flac"
         else:
             payload = encode_wav_compressed(wave.reshape(-1, 1), rate,
                                             codec)
-        rows.append(("a%04d" % i, "audio", "audio/wav",
+        rows.append(("a%04d" % i, "audio", mime,
                      bytearray(payload), None, None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 

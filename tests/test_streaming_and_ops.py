@@ -778,3 +778,162 @@ def test_gif_interlace_decode():
         assert g[i] == 0x2C
         g[i + 9] |= 0x40  # set the interlace flag
         assert (decode_gif(bytes(g)) == img).all(), (h, w)
+
+
+def test_flac_roundtrip_and_compression():
+    """FLAC encode/decode: lossless round trips across channel counts,
+    block sizes and predictor orders; a sine actually COMPRESSES under
+    the fixed predictor (the codec is real, not a container)."""
+    import numpy as np
+
+    from rdf_rdfxml_spark.operators.flac import decode_flac, encode_flac
+    rng = np.random.default_rng(31)
+    for n, ch, order in [(1000, 1, 2), (2048, 2, 1), (555, 2, -1),
+                         (100, 1, 0), (3000, 2, 4), (1, 1, 2)]:
+        s = rng.integers(-2000, 2000, size=(n, ch)).astype(np.int32)
+        dec, rate, bps = decode_flac(encode_flac(s, 8000,
+                                                 fixed_order=order))
+        assert rate == 8000 and bps == 16
+        assert (dec == s).all(), (n, ch, order)
+    t = np.arange(4000) / 8000.0
+    sine = (np.sin(2 * np.pi * 440 * t) * 12000).astype(np.int32)
+    payload = encode_flac(sine.reshape(-1, 1), 8000, fixed_order=2)
+    assert (decode_flac(payload)[0].reshape(-1) == sine).all()
+    assert len(payload) < sine.size * 2 * 0.8  # beats raw PCM16 by >20%
+
+
+def test_flac_stereo_decorrelation_and_lpc():
+    """Hand-built frames exercise the decode paths our encoder does not
+    emit: mid/side + left/side channel assignments and an LPC subframe
+    (coefficients [2,-1], shift 0 — numerically equals the fixed order-2
+    predictor, so expected output is known exactly)."""
+    import numpy as np
+
+    import rdf_rdfxml_spark.operators.flac as FL
+
+    def build(ch_code, subframes, blocksize, bps=16, rate_code=4):
+        bw = FL._BitWriter()
+        bw.write(0x3FFE, 14)
+        bw.write(0, 2)
+        bw.write(7, 4)            # blocksize: 16-bit at end - 1
+        bw.write(rate_code, 4)    # 8000 Hz
+        bw.write(ch_code, 4)
+        bw.write(4, 3)            # 16 bps
+        bw.write(0, 1)
+        bw.write(0, 8)            # frame number 0
+        bw.write(blocksize - 1, 16)
+        bw.align()
+        bw.write(FL._crc8(bytes(bw.out)), 8)
+        for vals, sub_bps in subframes:
+            bw.write(0, 1)
+            bw.write(1, 6)        # VERBATIM
+            bw.write(0, 1)
+            for v in vals:
+                bw.write(int(v) & ((1 << sub_bps) - 1), sub_bps)
+        bw.align()
+        bw.write(FL._crc16(bytes(bw.out)), 16)
+        return bytes(bw.out)
+
+    def stream(frame, channels):
+        si = ((((((0 << 16 | 16) << 16 | 16) << 48 | 0) << 20 | 8000)
+               << 3 | (channels - 1)) << 5 | 15) << 36 | 0
+        si <<= 128
+        return (b"fLaC" + bytes([0x80, 0, 0, 34]) + si.to_bytes(34, "big")
+                + frame)
+
+    rng = np.random.default_rng(33)
+    L = rng.integers(-5000, 5000, size=16).astype(np.int64)
+    R = rng.integers(-5000, 5000, size=16).astype(np.int64)
+    # mid/side (ch_code 10): mid = (L+R)>>1, side = L-R (side is bps+1)
+    mid, side = (L + R) >> 1, L - R
+    dec, rate, _ = FL.decode_flac(stream(
+        build(10, [(mid, 16), (side, 17)], 16), 2))
+    assert rate == 8000
+    assert (dec[:, 0] == L).all() and (dec[:, 1] == R).all()
+    # left/side (ch_code 8): side = L - R
+    dec, _, _ = FL.decode_flac(stream(
+        build(8, [(L, 16), (L - R, 17)], 16), 2))
+    assert (dec[:, 0] == L).all() and (dec[:, 1] == R).all()
+    # side/right (ch_code 9)
+    dec, _, _ = FL.decode_flac(stream(
+        build(9, [(L - R, 17), (R, 16)], 16), 2))
+    assert (dec[:, 0] == L).all() and (dec[:, 1] == R).all()
+
+    # LPC subframe equal to fixed order-2: coefs [2, -1], shift 0
+    s = np.cumsum(rng.integers(-50, 50, size=32)).astype(np.int64)
+    bw = FL._BitWriter()
+    bw.write(0x3FFE, 14)
+    bw.write(0, 2)
+    bw.write(7, 4)
+    bw.write(4, 4)
+    bw.write(0, 4)                # 1 channel
+    bw.write(4, 3)
+    bw.write(0, 1)
+    bw.write(0, 8)
+    bw.write(len(s) - 1, 16)
+    bw.align()
+    bw.write(FL._crc8(bytes(bw.out)), 8)
+    bw.write(0, 1)
+    bw.write(0x20 | (2 - 1), 6)   # LPC, order 2
+    bw.write(0, 1)
+    for v in s[:2]:
+        bw.write(int(v) & 0xFFFF, 16)
+    bw.write(15 - 1, 4)           # qlp precision 15
+    bw.write(0, 5)                # shift 0
+    bw.write(2 & 0x7FFF, 15)      # coef 2
+    bw.write(-1 & 0x7FFF, 15)     # coef -1
+    resid = [int(s[i] - (2 * s[i - 1] - s[i - 2])) for i in range(2, len(s))]
+    bw.write(0, 2)
+    bw.write(0, 4)
+    bw.write(6, 4)                # rice param 6
+    for r in resid:
+        v = (abs(r) << 1) - (1 if r < 0 else 0)
+        q, rem = v >> 6, v & 63
+        for _ in range(q):
+            bw.write(0, 1)
+        bw.write(1, 1)
+        bw.write(rem, 6)
+    bw.align()
+    bw.write(FL._crc16(bytes(bw.out)), 16)
+    dec, _, _ = FL.decode_flac(stream(bytes(bw.out), 1))
+    assert (dec.reshape(-1) == s).all()
+
+
+def test_flac_typed_error_fuzz():
+    """Bit flips over a FLAC payload stay inside DecodeError (CRCs catch
+    most; structure errors the rest)."""
+    import numpy as np
+
+    from rdf_rdfxml_spark.operators.flac import decode_flac, encode_flac
+    from rdf_rdfxml_spark.operators.multimodal import DecodeError
+    rng = np.random.default_rng(34)
+    s = rng.integers(-999, 999, size=(400, 2)).astype(np.int32)
+    payload = encode_flac(s, 8000)
+    for _ in range(300):
+        b = bytearray(payload)
+        j = int(rng.integers(4, len(b)))
+        b[j] ^= 1 << int(rng.integers(0, 8))
+        try:
+            decode_flac(bytes(b))
+        except DecodeError:
+            pass
+        except Exception as e:  # noqa: BLE001
+            raise AssertionError(
+                f"untyped escape at byte {j}: {type(e).__name__}: {e}")
+
+
+def test_audio_features_flac_in_rotation(spark):
+    """synth_audio item 4 is native FLAC — the distributed feature UDF
+    must decode it through the dispatch with no error rows."""
+    from rdf_rdfxml_spark.operators.multimodal import (
+        audio_features, synth_audio,
+    )
+    rows = {r["media_id"]: r
+            for r in audio_features(synth_audio(spark, 10)).collect()}
+    assert rows["a0004"]["error"] is None
+    assert rows["a0009"]["error"] is None
+    assert rows["a0004"]["duration_ms"] == 50
+    assert rows["a0004"]["sample_rate"] == 8000
+    # FLAC (lossless) rms must EQUAL the PCM item's rms for the same tone
+    # family amplitude (~12000/sqrt(2))
+    assert 8000 < rows["a0004"]["rms"] < 9000
