@@ -845,6 +845,44 @@ def q_doc_fingerprint(spark, sf_dir):
         F.length("text").alias("n_chars_actual"))
 
 
+def q_audio_features(spark, sf_dir):
+    # Audio decode under the driver gate (round-4: previously
+    # pytest-only): the synthetic audio table rotates PCM WAV, G.711
+    # mu-law/A-law, IMA ADPCM and native FLAC through the distributed
+    # feature UDF; the oracle recomputes the same decodes sequentially at
+    # SQL-generation time from the SAME synth helper, so the two cannot
+    # drift. Value-exact: duration/rms/channels/rate per item.
+    from rdf_rdfxml_spark.operators.multimodal import (
+        audio_features, synth_audio,
+    )
+    return (audio_features(synth_audio(spark, 15).repartition(4))
+            .select("media_id", "duration_ms", "rms", "channels",
+                    "sample_rate"))
+
+
+def _audio_oracle() -> str:
+    from rdf_rdfxml_spark.operators.multimodal import (
+        _decode_audio_checked, synth_audio_item,
+    )
+    import numpy as np
+    rows = []
+    for i in range(15):
+        media_id, payload = synth_audio_item(i)
+        samples, rate = _decode_audio_checked(payload)
+        dur = int(samples.shape[0] * 1000 // rate)
+        rms = round(float(np.sqrt(
+            np.mean(samples.astype(np.float64) ** 2))), 4)
+        rows.append(f"('{media_id}', {dur}, {rms}, "
+                    f"{samples.shape[1]}, {rate})")
+    values = ",\n      ".join(rows)
+    return (f"SELECT media_id, CAST(duration_ms AS BIGINT) AS duration_ms,"
+            f" CAST(rms AS DOUBLE) AS rms,"
+            f" CAST(channels AS INTEGER) AS channels,"
+            f" CAST(sample_rate AS INTEGER) AS sample_rate FROM (VALUES\n"
+            f"      {values}) AS t(media_id, duration_ms, rms, channels,"
+            f" sample_rate)")
+
+
 def q_multimodal_features(spark, sf_dir):
     # Real decode path (PPM payloads) through the Arrow-batched feature
     # UDF; the corpus is the deterministic synthetic media table (no
@@ -1061,7 +1099,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_linking": q_entity_linking,
         "entity_linking_salted": q_entity_linking_salted,
         "predicate_stats": q_predicate_stats,
-        "kg_degree_stats": q_kg_degree_stats,
         "kg_two_hop": q_kg_two_hop,
         "kg_pagerank": q_kg_pagerank,
         "lineage_invariant": q_lineage_invariant,
@@ -1089,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_trigram": q_lang_id_trigram,
         "doc_winnowing": q_doc_winnowing,
         "training_corpus_stats": q_training_corpus_stats,
+        "audio_features": q_audio_features,
         "multimodal_features": q_multimodal_features,
         "video_frame_sample": q_video_frame_sample,
         "events_windowed": q_events_windowed,
@@ -1114,6 +1152,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "rdfxml_write": q_rdfxml_write,  # bench surface; rows-only check
+        # near-constant rollup twin — strong queries took its gate slot
+        "kg_degree_stats": q_kg_degree_stats,
     }
 
 
@@ -1563,6 +1603,8 @@ def _all_oracle_sql() -> dict[str, str]:
     FROM documents""",
 
         "training_corpus_stats": _training_corpus_oracle(),
+
+        "audio_features": _audio_oracle(),
 
         "multimodal_features": _multimodal_oracle(),
 

@@ -919,27 +919,31 @@ def synth_audio(spark, n: int = 8, rate: int = 8000,
     """Deterministic synthetic audio table (sine tones, no external
     data). Codecs rotate PCM / mu-law / A-law / IMA-ADPCM WAV and
     native FLAC so every compressed audio decode path runs through the
-    distributed feature UDF."""
+    distributed feature UDF; :func:`synth_audio_item` is shared with the
+    driver oracle builder so the two cannot drift."""
     rows = []
     for i in range(n):
-        t = np.arange(int(rate * ms / 1000)) / rate
-        freq = 220.0 * (i + 1)
-        wave = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
-        codec = (None, "mulaw", "alaw", "adpcm", "flac")[i % 5]
-        mime = "audio/wav"
-        if codec is None:
-            payload = encode_wav(wave.reshape(-1, 1), rate)
-        elif codec == "flac":
-            from .flac import encode_flac
-            payload = encode_flac(wave.reshape(-1, 1).astype(np.int32),
-                                  rate)
-            mime = "audio/flac"
-        else:
-            payload = encode_wav_compressed(wave.reshape(-1, 1), rate,
-                                            codec)
-        rows.append(("a%04d" % i, "audio", mime,
+        media_id, payload = synth_audio_item(i, rate=rate, ms=ms)
+        mime = "audio/flac" if payload[:4] == b"fLaC" else "audio/wav"
+        rows.append((media_id, "audio", mime,
                      bytearray(payload), None, None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synth_audio_item(i: int, *, rate: int = 8000, ms: int = 50) -> tuple:
+    """Deterministic synthetic audio item i: (media_id, payload)."""
+    t = np.arange(int(rate * ms / 1000)) / rate
+    freq = 220.0 * (i + 1)
+    wave = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+    codec = (None, "mulaw", "alaw", "adpcm", "flac")[i % 5]
+    if codec is None:
+        payload = encode_wav(wave.reshape(-1, 1), rate)
+    elif codec == "flac":
+        from .flac import encode_flac
+        payload = encode_flac(wave.reshape(-1, 1).astype(np.int32), rate)
+    else:
+        payload = encode_wav_compressed(wave.reshape(-1, 1), rate, codec)
+    return "a%04d" % i, payload
 
 
 GIF_SIGS = (b"GIF87a", b"GIF89a")
