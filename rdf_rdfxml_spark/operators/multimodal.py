@@ -588,21 +588,27 @@ def sample_frames(media: DataFrame, *, every: int = 4,
 
 def synth_video_item(i: int, frames: int = 12) -> tuple:
     """Deterministic synthetic video item i: (media_id, mime, payload).
-    Containers alternate PPM-sequence / raw MJPEG (JPEG-encoded frames —
-    real compressed video through the frame-sampling path); shared by
-    :func:`synth_video` and the driver oracle builder."""
+    Containers rotate PPM-sequence / baseline MJPEG / progressive-4:2:0
+    MJPEG with restart intervals (real compressed video through the
+    frame-sampling path — multi-SOS frame splitting and the full decode
+    envelope under the gated driver query); shared by :func:`synth_video`
+    and the driver oracle builder."""
     parts = []
     for f in range(frames):
         seed = int.from_bytes(
             hashlib.sha256(f"video:{i}:{f}".encode()).digest()[:4], "big")
         rng = np.random.default_rng(seed)
         img = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
-        if i % 2:
+        if i % 3 == 1:
             from .jpeg import encode_jpeg
             parts.append(encode_jpeg(img))
+        elif i % 3 == 2:
+            from .jpeg import encode_jpeg_progressive
+            parts.append(encode_jpeg_progressive(
+                img, sampling="420", restart_interval=1))
         else:
             parts.append(encode_ppm(img))
-    mime = "video/x-motion-jpeg" if i % 2 else "video/x-ppm-seq"
+    mime = "video/x-motion-jpeg" if i % 3 else "video/x-ppm-seq"
     return ("v%04d" % i, mime, b"".join(parts))
 
 
