@@ -134,9 +134,10 @@ def encode_ppm(img: np.ndarray) -> bytes:
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """HxWx3 uint8 → PNG payload (8-bit RGB, filter 0 rows, one IDAT).
-    Pure stdlib (zlib/crc32) — test/synth helper and writer seam."""
+def encode_png(img: np.ndarray, *, interlaced: bool = False) -> bytes:
+    """HxWx3 uint8 → PNG payload (8-bit RGB, filter 0 rows, one IDAT;
+    optional Adam7 interlacing). Pure stdlib (zlib/crc32) — test/synth
+    helper and writer seam."""
     h, w, _ = img.shape
 
     def chunk(typ: bytes, data: bytes) -> bytes:
@@ -144,9 +145,17 @@ def encode_png(img: np.ndarray) -> bytes:
                 + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big"))
 
     ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
-            + bytes([8, 2, 0, 0, 0]))  # depth 8, RGB, deflate, adaptive, none
-    raw = b"".join(b"\x00" + img[y].astype(np.uint8).tobytes()
-                   for y in range(h))
+            + bytes([8, 2, 0, 0, 1 if interlaced else 0]))
+    if interlaced:
+        raw = b""
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.size:
+                raw += b"".join(b"\x00" + row.astype(np.uint8).tobytes()
+                                for row in sub)
+    else:
+        raw = b"".join(b"\x00" + img[y].astype(np.uint8).tobytes()
+                       for y in range(h))
     return (PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
 
@@ -372,7 +381,8 @@ def extract_features(media: DataFrame, *, fake_decode: bool = False,
 def synth_media_item(i: int) -> tuple:
     """Deterministic synthetic media item i: (media_id, mime, payload,
     w, h). Formats rotate PPM / PNG / GIF / baseline JPEG / progressive
-    JPEG (SOF2, 4:2:0) / baseline 4:2:0 JPEG so every real decoder path —
+    JPEG (SOF2, 4:2:0) / DRI-4:2:0 JPEG / Adam7-interlaced PNG so every
+    real decoder path —
     including the progressive + subsampled shapes that dominate real
     corpora — is exercised end-to-end through the gated driver query
     (images have ≤160 pixels, so GIF's ≤256-color palettization is
@@ -384,21 +394,24 @@ def synth_media_item(i: int) -> tuple:
     rng = np.random.default_rng(seed)
     w, h = 4 + (i % 13), 4 + (i % 7)
     img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-    if i % 6 == 1:
+    if i % 7 == 1:
         return ("m%04d" % i, "image/png", encode_png(img), w, h)
-    if i % 6 == 2:
+    if i % 7 == 2:
         return ("m%04d" % i, "image/gif", encode_gif(img), w, h)
-    if i % 6 == 3:
+    if i % 7 == 3:
         from .jpeg import encode_jpeg
         return ("m%04d" % i, "image/jpeg", encode_jpeg(img), w, h)
-    if i % 6 == 4:
+    if i % 7 == 4:
         from .jpeg import encode_jpeg_progressive
         return ("m%04d" % i, "image/jpeg",
                 encode_jpeg_progressive(img, sampling="420"), w, h)
-    if i % 6 == 5:
+    if i % 7 == 5:
         from .jpeg import encode_jpeg
         return ("m%04d" % i, "image/jpeg",
                 encode_jpeg(img, sampling="420", restart_interval=2), w, h)
+    if i % 7 == 6:
+        return ("m%04d" % i, "image/png",
+                encode_png(img, interlaced=True), w, h)
     return ("m%04d" % i, "image/x-portable-pixmap", encode_ppm(img), w, h)
 
 
