@@ -10,9 +10,11 @@ FIXED (orders 0-4) / LPC (any order), wasted bits, Rice/Rice2 residual
 partitions including escape-coded raw partitions. Ogg-encapsulated FLAC
 is out of scope (``DecodeError``).
 
-The encoder emits VERBATIM or FIXED-predicted subframes with Rice
-residuals — enough to round-trip any PCM input LOSSLESSLY, which is the
-test contract: ``decode(encode(x)) == x`` exactly, plus CRC/framing
+The encoder emits VERBATIM, FIXED-predicted, or Levinson-Durbin LPC
+subframes (``lpc_order`` > 0; picked per block when it beats the fixed
+predictor) with Rice residuals — the residual is computed with the
+EXACT integer mirror of the decoder's predictor, so any PCM input
+round-trips LOSSLESSLY: ``decode(encode(x)) == x``, plus CRC/framing
 checks a foreign decoder would apply. Typed-error contract as everywhere
 in the multimodal suite: malformed payloads raise
 :class:`~.multimodal.DecodeError`, fuzz-enforced.
@@ -356,12 +358,48 @@ def _encode_residual(bw: _BitWriter, resid: list):
             bw.write(rem, param)
 
 
+def _lpc_estimate(s: list, order: int):
+    """Levinson–Durbin LPC estimation → (quantized coefs, shift) or None
+    when the block is degenerate (constant / too short / unstable).
+    Prediction form matches the decoder exactly:
+    ``pred = (Σ c_j · s[i-1-j]) >> shift``."""
+    n = len(s)
+    if n <= order * 2:
+        return None
+    x = np.asarray(s, dtype=np.float64)
+    r = [float(np.dot(x[: n - k], x[k:])) for k in range(order + 1)]
+    if r[0] == 0.0:
+        return None
+    err = r[0]
+    a = np.zeros(order + 1)
+    for i in range(1, order + 1):
+        acc = r[i] - float(np.dot(a[1:i], r[i - 1:0:-1]))
+        k = acc / err
+        a[1:i + 1] = np.concatenate([a[1:i] - k * a[1:i][::-1],
+                                     np.array([k])])
+        err *= (1 - k * k)
+        if err <= 0:
+            return None
+    coefs = a[1:order + 1]                # s[i] ≈ Σ coefs[j] s[i-1-j]
+    cmax = float(np.abs(coefs).max())
+    if not np.isfinite(cmax) or cmax == 0:
+        return None
+    precision = 14                        # < 15 (qlp precision limit)
+    shift = min(15, max(1, precision - 1 - int(np.ceil(np.log2(cmax + 1e-9)))
+                        if cmax >= 1 else precision - 1))
+    q = [int(round(c * (1 << shift))) for c in coefs]
+    lim = 1 << (precision - 1)
+    q = [max(-lim, min(lim - 1, c)) for c in q]
+    if not any(q):
+        return None
+    return q, shift, precision
+
+
 def _encode_subframe(bw: _BitWriter, s: np.ndarray, bps: int,
-                     fixed_order: int):
+                     fixed_order: int, lpc_order: int = 0):
     s = [int(x) for x in s]
-    order = min(fixed_order, len(s))
     bw.write(0, 1)
-    if order == 0 and len(set(s)) == 1:
+    if len(set(s)) == 1 and fixed_order >= 0:
         bw.write(0, 6)                       # CONSTANT
         bw.write(0, 1)
         bw.write(s[0] & ((1 << bps) - 1), bps)
@@ -372,22 +410,51 @@ def _encode_subframe(bw: _BitWriter, s: np.ndarray, bps: int,
         for v in s:
             bw.write(v & ((1 << bps) - 1), bps)
         return
-    bw.write(8 + order, 6)                   # FIXED
-    bw.write(0, 1)                           # no wasted bits
-    for v in s[:order]:
-        bw.write(v & ((1 << bps) - 1), bps)
+    order = min(fixed_order, len(s))
     coefs = _FIXED_COEFS[order]
-    resid = [s[i] - sum(c * s[i - 1 - j] for j, c in enumerate(coefs))
-             for i in range(order, len(s))]
+    fixed_resid = [s[i] - sum(c * s[i - 1 - j] for j, c in enumerate(coefs))
+                   for i in range(order, len(s))]
+    choice = ("fixed", order, None, 0, fixed_resid)
+    if lpc_order > 0:
+        est = _lpc_estimate(s, min(lpc_order, 32, max(1, len(s) // 4)))
+        if est is not None:
+            q, shift, prec = est
+            o = len(q)
+            # EXACT integer mirror of the decoder's predictor
+            resid = [s[i] - (sum(q[j] * s[i - 1 - j] for j in range(o))
+                             >> shift)
+                     for i in range(o, len(s))]
+            cost_lpc = sum(abs(r) for r in resid) + o * 4
+            cost_fix = sum(abs(r) for r in fixed_resid)
+            if cost_lpc < cost_fix:
+                choice = ("lpc", o, q, shift, resid)
+    kind, order, q, shift, resid = choice
+    if kind == "fixed":
+        bw.write(8 + order, 6)               # FIXED
+        bw.write(0, 1)                       # no wasted bits
+        for v in s[:order]:
+            bw.write(v & ((1 << bps) - 1), bps)
+    else:
+        bw.write(0x20 | (order - 1), 6)      # LPC
+        bw.write(0, 1)
+        for v in s[:order]:
+            bw.write(v & ((1 << bps) - 1), bps)
+        bw.write(14 - 1, 4)                  # qlp precision 14
+        bw.write(shift & 0x1F, 5)
+        for c in q:
+            bw.write(c & 0x3FFF, 14)
     _encode_residual(bw, resid)
 
 
 def encode_flac(samples: np.ndarray, rate: int, *, bps: int = 16,
-                blocksize: int = 1024, fixed_order: int = 2) -> bytes:
-    """(n, channels) int → native FLAC payload (independent channels,
-    FIXED predictors with Rice residuals, or VERBATIM when
-    ``fixed_order`` < 0). Lossless by construction — the round-trip test
-    contract."""
+                blocksize: int = 1024, fixed_order: int = 2,
+                lpc_order: int = 0) -> bytes:
+    """(n, channels) int → native FLAC payload (independent channels;
+    FIXED predictors with Rice residuals, Levinson-Durbin LPC when
+    ``lpc_order`` > 0 beats the fixed predictor, or VERBATIM when
+    ``fixed_order`` < 0). Lossless by construction — the residual is the
+    exact integer mirror of the decoder's predictor — which is the
+    round-trip test contract."""
     if samples.ndim != 2:
         raise ValueError("samples must be (n, channels)")
     n, channels = samples.shape
@@ -438,7 +505,7 @@ def encode_flac(samples: np.ndarray, rate: int, *, bps: int = 16,
         hdr = bytes(bw.out)
         bw.write(_crc8(hdr), 8)
         for c in range(channels):
-            _encode_subframe(bw, blk[:, c], bps, fixed_order)
+            _encode_subframe(bw, blk[:, c], bps, fixed_order, lpc_order)
         bw.align()
         body = bytes(bw.out)
         bw.write(_crc16(body), 16)

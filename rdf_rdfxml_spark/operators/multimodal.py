@@ -959,7 +959,8 @@ def synth_audio_item(i: int, *, rate: int = 8000, ms: int = 50) -> tuple:
         payload = encode_wav(wave.reshape(-1, 1), rate)
     elif codec == "flac":
         from .flac import encode_flac
-        payload = encode_flac(wave.reshape(-1, 1).astype(np.int32), rate)
+        payload = encode_flac(wave.reshape(-1, 1).astype(np.int32),
+                              rate, lpc_order=8)
     else:
         payload = encode_wav_compressed(wave.reshape(-1, 1), rate, codec)
     return "a%04d" % i, payload

@@ -937,3 +937,26 @@ def test_audio_features_flac_in_rotation(spark):
     # FLAC (lossless) rms must EQUAL the PCM item's rms for the same tone
     # family amplitude (~12000/sqrt(2))
     assert 8000 < rows["a0004"]["rms"] < 9000
+
+
+def test_flac_lpc_encoder_roundtrip_and_wins():
+    """Levinson-Durbin LPC encoding: exact lossless round trip (the
+    residual mirrors the decoder's integer predictor), and on a resonant
+    signal LPC compresses meaningfully better than the fixed
+    order-2 predictor."""
+    import numpy as np
+
+    from rdf_rdfxml_spark.operators.flac import decode_flac, encode_flac
+    rng = np.random.default_rng(41)
+    t = np.arange(6000) / 8000.0
+    sig = (np.sin(2 * np.pi * 440 * t) * 9000
+           + np.sin(2 * np.pi * 523 * t) * 2500
+           + rng.normal(0, 20, t.size)).astype(np.int32).reshape(-1, 1)
+    pf = encode_flac(sig, 8000, fixed_order=2)
+    pl = encode_flac(sig, 8000, fixed_order=2, lpc_order=8)
+    assert (decode_flac(pf)[0] == sig).all()
+    assert (decode_flac(pl)[0] == sig).all()
+    assert len(pl) < 0.9 * len(pf)  # LPC beats fixed by >10% here
+    # stereo + noise: selection must never break losslessness
+    s2 = rng.integers(-3000, 3000, size=(1500, 2)).astype(np.int32)
+    assert (decode_flac(encode_flac(s2, 8000, lpc_order=8))[0] == s2).all()
