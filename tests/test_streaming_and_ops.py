@@ -201,23 +201,35 @@ def test_cli_end_to_end(spark, tmp_path):
 
 def test_dist_zip_importable(tmp_path):
     """The spark-submit --py-files artifact must be zipimport-complete:
-    every package module loads from the zip alone (a missing module would
-    only surface as an executor-side ImportError on a real cluster)."""
+    the zip is REBUILT first (a stale artifact hid lazily-imported
+    modules once), then every package module — including the
+    lazy-imported codec/adapter ones — loads from the zip alone (a
+    missing module would only surface as an executor-side ImportError
+    on a real cluster)."""
     import subprocess as sp
     import sys as _sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import package as pkg
+    zip_path = tmp_path / "rdf_rdfxml_spark.zip"
+    pkg.build(zip_path)
     r = sp.run(
         [_sys.executable, "-c",
-         "import sys; sys.path.insert(0, 'dist/rdf_rdfxml_spark.zip'); "
+         f"import sys; sys.path.insert(0, {str(zip_path)!r}); "
          "import rdf_rdfxml_spark as m; "
-         "from rdf_rdfxml_spark.operators import (ann, dedup, extract, "
-         "graph, linking, materialize, metrics, multimodal, score, sketch, "
-         "textlang); "
+         "from rdf_rdfxml_spark.operators import (ann, curation, dedup, "
+         "extract, flac, graph, jpeg, linking, materialize, metrics, "
+         "multimodal, score, sketch, textlang); "
+         "from rdf_rdfxml_spark.functions import (iri, nt, purexml, "
+         "xmldom, xsd); "
          "from rdf_rdfxml_spark import cli, schema; "
          "from rdf_rdfxml_spark.sources import documents, fixtures, format,"
          " w3c; "
          "from rdf_rdfxml_spark.writer import serialize; "
          "from rdf_rdfxml_spark.streaming import sessionize, stream; "
-         "t, e = m.parse_rdfxml('<x/>', doc_key='z'); print('OK', len(e))"],
+         "t, e = m.parse_rdfxml('<x/>', doc_key='z'); "
+         "el = xmldom.parse_document('<a/>', library='python'); "
+         "print('OK', len(e))"],
         capture_output=True, text=True, cwd="/root/repo",
         env={"PATH": "/usr/bin:/bin", "PYTHONPATH": ""})
     assert r.returncode == 0, r.stderr
