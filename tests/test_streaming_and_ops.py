@@ -972,3 +972,17 @@ def test_flac_lpc_encoder_roundtrip_and_wins():
     # stereo + noise: selection must never break losslessness
     s2 = rng.integers(-3000, 3000, size=(1500, 2)).astype(np.int32)
     assert (decode_flac(encode_flac(s2, 8000, lpc_order=8))[0] == s2).all()
+
+
+def test_flac_24bit_stereo():
+    """bps=24 stereo round trip at 44.1 kHz — STREAMINFO/bps plumbing
+    beyond the 16-bit default."""
+    import numpy as np
+
+    from rdf_rdfxml_spark.operators.flac import decode_flac, encode_flac
+    rng = np.random.default_rng(43)
+    s = rng.integers(-(1 << 22), 1 << 22, size=(800, 2)).astype(np.int32)
+    dec, rate, bps = decode_flac(encode_flac(s, 44100, bps=24,
+                                             lpc_order=4))
+    assert rate == 44100 and bps == 24
+    assert (dec == s).all()
