@@ -209,10 +209,13 @@ def main():
         out[f"ivf_dedup_{label}_cells"] = cells
         emb.unpersist()
 
-    # ---- production-threshold (0.7) trained dedup recall vs numpy ----
+    # ---- production-threshold (0.7) trained dedup recall vs numpy,
+    # flat vs two-level assignment (k ∝ N makes flat N·k quadratic) ----
     if "recall" in modes:
         import numpy as np
-        from rdf_rdfxml_spark.operators.ann import with_neardup_twins
+        from rdf_rdfxml_spark.operators.ann import (
+            dedup_embedding_twolevel, with_neardup_twins,
+        )
         for label, rep in (("1x", 1), ("10x", 10)):
             emb = with_neardup_twins(
                 rep_embeddings(spark, rep).repartition(spread)).persist()
@@ -223,6 +226,10 @@ def main():
                 2, lambda e=emb, c=centroids: dedup_embedding_bucketed(
                     e, centroids=c, threshold=0.7).collect())
             got = {(r["a"], r["b"]) for r in rows_got}
+            wall2, rows_two = best_of(
+                2, lambda e=emb, c=centroids: dedup_embedding_twolevel(
+                    e, c, threshold=0.7).collect())
+            got_two = {(r["a"], r["b"]) for r in rows_two}
             # numpy brute-force ground truth (chunked row blocks)
             all_rows = emb.collect()
             ids = np.array([r["vec_id"] for r in all_rows])
@@ -243,6 +250,11 @@ def main():
                 len(got & truth) / max(1, len(truth)), 4)
             out[f"prod_dedup_{label}_precision"] = round(
                 len(got & truth) / max(1, len(got)), 4)
+            out[f"prod_dedup_twolevel_{label}_sec"] = wall2
+            out[f"prod_dedup_twolevel_{label}_recall"] = round(
+                len(got_two & truth) / max(1, len(truth)), 4)
+            out[f"prod_dedup_twolevel_{label}_precision"] = round(
+                len(got_two & truth) / max(1, len(got_two)), 4)
             emb.unpersist()
 
     # headline ratios (10x work in <= ~10x time = linear or better)
