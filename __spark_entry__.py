@@ -42,6 +42,20 @@ XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
 TRIPLE_COLS = ["s", "s_kind", "p", "o", "o_kind", "o_lang", "o_dt", "doc_sha"]
 
 
+def _scratch(name: str) -> str:
+    """Fixed per-query scratch dir under the system tempdir, wiped on
+    entry. The result DataFrame of a streaming query reads from this dir
+    after the query returns, so it can't be removed in a finally —
+    instead each run reclaims the previous run's space (bounded: at most
+    one resident copy per query name, never accumulating)."""
+    import shutil
+    import tempfile
+    base = os.path.join(tempfile.gettempdir(), "rdfxml_spark_scratch", name)
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    return base
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -102,11 +116,11 @@ def q_stream_ingest(spark, sf_dir):
     # trigger(availableNow), then the materialized triples are read back.
     # One extraction code path for batch and streaming, so rows + schema +
     # value-hash must match the batch oracle exactly.
-    import tempfile
     from rdf_rdfxml_spark.streaming.stream import stream_construct
     # scratch OUTSIDE the repo tree (round-3 verdict nit: driver queries
-    # must not leave filesystem side effects under the repo)
-    base = tempfile.mkdtemp(prefix="stream_ingest_")
+    # must not leave filesystem side effects under the repo); fixed name
+    # wiped on entry so repeated gate/bench runs don't accumulate
+    base = _scratch("stream_ingest")
     in_dir = os.path.join(base, "in")
     out_dir = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
@@ -705,9 +719,8 @@ def q_stream_neardup(spark, sf_dir):
     # equivalence only if the ts span exceeded the 1 h horizon; the
     # synthetic ts = 1700000000 + doc_id keeps the sf0.01 gate corpus
     # well inside it.)
-    import tempfile
     from rdf_rdfxml_spark.streaming.stream import stream_neardup_flags
-    base = tempfile.mkdtemp(prefix="stream_neardup_")
+    base = _scratch("stream_neardup")
     in_dir = os.path.join(base, "in")
     out_dir = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
@@ -1238,7 +1251,10 @@ def _oracle_term_dictionary() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for the driver-gated :func:`queries` (49 entries)."""
+    """DuckDB twins for the driver-gated :func:`queries` (50 entries —
+    the registry sits exactly at the driver's 50-entry gate cap, so any
+    future gated addition must displace an entry into
+    :func:`extra_queries`; tools/check_oracles.py asserts the cap)."""
     all_ = _all_oracle_sql()
     return {k: all_[k] for k in queries() if k in all_}
 

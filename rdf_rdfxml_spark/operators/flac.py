@@ -138,14 +138,15 @@ def _decode_residual(br: _BitReader, blocksize: int, order: int) -> list:
     escape = (1 << pbits) - 1
     porder = br.read(4)
     nparts = 1 << porder
-    if blocksize % nparts or blocksize // nparts <= order and nparts > 1:
-        if blocksize >> porder < 1:
-            raise DecodeError("bad FLAC partition order")
+    # Spec: blocksize must divide evenly into 2^porder partitions, and
+    # each partition (blocksize >> porder) must exceed the predictor
+    # order (the first partition drops `order` warmup residuals).
+    psize = blocksize >> porder
+    if blocksize != psize << porder or psize <= order:
+        raise DecodeError("bad FLAC partition order")
     out = []
     for p in range(nparts):
-        count = (blocksize >> porder) - (order if p == 0 else 0)
-        if count < 0:
-            raise DecodeError("FLAC partition smaller than predictor order")
+        count = psize - (order if p == 0 else 0)
         param = br.read(pbits)
         if param == escape:
             raw = br.read(5)
@@ -488,11 +489,15 @@ def encode_flac(samples: np.ndarray, rate: int, *, bps: int = 16,
         if fn < 0x80:
             bw.write(fn, 8)
         else:
+            # Peel 6-bit continuation chunks until the residue fits the
+            # lead byte, which holds 7-ones value bits for an ones-byte
+            # sequence (<= keeps the encoding minimal: 0x7F>>(len+1) is
+            # exactly the lead-byte capacity once this chunk is added).
             chunks = []
-            while fn >= 0x40 or len(chunks) == 0:
+            while True:
                 chunks.append(0x80 | (fn & 0x3F))
                 fn >>= 6
-                if fn < (0x7F >> (len(chunks) + 1)):
+                if fn <= (0x7F >> (len(chunks) + 1)):
                     break
             ones = len(chunks) + 1
             bw.write((0xFF << (8 - ones)) & 0xFF | fn, 8)

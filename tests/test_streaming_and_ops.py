@@ -974,6 +974,53 @@ def test_flac_lpc_encoder_roundtrip_and_wins():
     assert (decode_flac(encode_flac(s2, 8000, lpc_order=8))[0] == s2).all()
 
 
+def test_flac_many_frames_utf8_frame_numbers():
+    """Frame indices past every UTF-8 length boundary round-trip: the
+    encoder's frame-number writer must emit the minimal multi-byte
+    sequence (2048 needs 3 bytes — a 2-byte lead holds only 11 bits).
+    Regression for the chunk loop that exited before the residue fit the
+    lead byte, producing streams every spec decoder rejects."""
+    import numpy as np
+
+    from rdf_rdfxml_spark.operators.flac import decode_flac, encode_flac
+    rng = np.random.default_rng(47)
+    # blocksize 16 → 2100 frames crosses 0x80 (2-byte) and 2048 (3-byte)
+    s = rng.integers(-500, 500, size=(2100 * 16, 1)).astype(np.int32)
+    dec, rate, bps = decode_flac(encode_flac(s, 8000, blocksize=16,
+                                             fixed_order=1))
+    assert (dec == s).all()
+
+
+def test_flac_bad_partition_order_typed_error():
+    """A CRC-valid frame whose blocksize is not divisible by 2^porder
+    (or whose partitions don't exceed the predictor order) must raise
+    the typed DecodeError, not an untyped IndexError downstream."""
+    import numpy as np
+    import pytest
+
+    import rdf_rdfxml_spark.operators.flac as FL
+
+    class _Bits:
+        def __init__(self, vals):
+            self.vals = list(vals)
+
+        def read(self, n):
+            return self.vals.pop(0)
+
+        def read_signed(self, n):
+            return self.vals.pop(0)
+
+        def unary(self):
+            return self.vals.pop(0)
+
+    # blocksize 100 with porder 3 (8 partitions): 100 % 8 != 0
+    with pytest.raises(FL.DecodeError):
+        FL._decode_residual(_Bits([0, 3]), 100, 2)
+    # psize (1024>>10 = 1) must EXCEED the predictor order (2)
+    with pytest.raises(FL.DecodeError):
+        FL._decode_residual(_Bits([0, 10]), 1024, 2)
+
+
 def test_flac_24bit_stereo():
     """bps=24 stereo round trip at 44.1 kHz — STREAMINFO/bps plumbing
     beyond the 16-bit default."""
