@@ -624,16 +624,21 @@ def q_dedup_embedding_twolevel(spark, sf_dir):
     # Two-level IVF dedup at the production threshold: a coarse quantizer
     # over the trained centroid table cuts the N·k assignment cosines to
     # ~N·3√k — the piece that turned quadratic under the k ∝ N dedup
-    # regime (BASELINE.md round-4). Coarse level = strided centroid
-    # subset (deterministic), every ranking on the ROUND(cos,6)+id
-    # contract, so the oracle replicates the full two-level path in SQL.
+    # regime (BASELINE.md round-4). Round 5: the coarse level is now
+    # TRAINED (driver-side Lloyd's over the model-sized fine-centroid
+    # table — train_coarse_quantizer) instead of a strided subset; every
+    # ranking stays on the ROUND(cos,6)+id contract, so the oracle
+    # replicates the full two-level path — coarse training included —
+    # in SQL.
     from rdf_rdfxml_spark.operators.ann import (
         dedup_embedding_twolevel, kmeans_cells, load_embeddings,
-        with_neardup_twins,
+        train_coarse_quantizer, with_neardup_twins,
     )
     emb = with_neardup_twins(load_embeddings(spark, sf_dir))
     _, centroids = kmeans_cells(emb, k=16, iters=2)
-    return dedup_embedding_twolevel(emb, centroids, threshold=0.7)
+    coarse = train_coarse_quantizer(centroids)
+    return dedup_embedding_twolevel(emb, centroids, threshold=0.7,
+                                    coarse_centroids=coarse)
 
 
 def q_ann_quantized_topk(spark, sf_dir):
@@ -1558,7 +1563,8 @@ def _all_oracle_sql() -> dict[str, str]:
             threshold=0.7, table=_ANN.neardup_twins_table_sql()),
 
         "dedup_embedding_twolevel": _ANN.dedup_twolevel_oracle_sql(
-            threshold=0.7, k=16, table=_ANN.neardup_twins_table_sql()),
+            threshold=0.7, k=16, trained_coarse=True,
+            table=_ANN.neardup_twins_table_sql()),
 
         "stream_neardup": _SK.stream_neardup_oracle_sql(),
 

@@ -120,9 +120,55 @@ def ivf_assign(emb: DataFrame, *, n_cells: int = 8,
             .select("vec_id", "v", "cell_id"))
 
 
+def train_coarse_quantizer(centroids: list, *, k_coarse: int | None = None,
+                           iters: int = 2, round_dec: int = 6) -> list:
+    """Deterministic Lloyd's over the FINE-centroid table → trained
+    coarse quantizer for :func:`ivf_assign_two_level`.
+
+    The fine-centroid table is model-sized (k×dim floats, driver-held),
+    so the coarse training runs entirely on the driver in pure Python —
+    no Spark job. The cross-engine contract mirrors
+    :func:`kmeans_cells`: init = the ``k_coarse`` lowest cell_ids
+    (labelled 0..k'-1 in cell_id order), assignment by ``round(cos, 6)``
+    with lowest-coarse-id tie-break, per-dim mean rounded to
+    ``round_dec``, empty clusters dropped — the DuckDB oracle
+    (:func:`dedup_twolevel_oracle_sql` with ``trained_coarse=True``)
+    re-derives the identical coarse table in SQL over its own fine-CTE
+    chain. Sum-order float drift (Python left-fold vs DuckDB AVG) is
+    ~1e-15 over ≤k values, far below the 1e-6 rounding grain.
+
+    Why trained: the round-4 strided-subset coarse level missed 1/20
+    twins at sf0.001 (a vector straddling a coarse boundary probed the
+    wrong coarse cells). Centroids that track the fine-centroid
+    distribution shrink boundary volume — recall vs brute force is
+    re-measured in tests/test_ann.py and tools/scale_proof.py.
+    """
+    import math
+
+    def _c(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return round(dot / (math.sqrt(sum(x * x for x in a))
+                            * math.sqrt(sum(x * x for x in b))), 6)
+
+    fine = sorted((int(c), [float(x) for x in v]) for c, v in centroids)
+    if k_coarse is None:
+        k_coarse = max(1, int(len(fine) ** 0.5))
+    coarse = [(j, list(fine[j][1])) for j in range(min(k_coarse, len(fine)))]
+    for _ in range(iters):
+        members: dict = {}
+        for _cid, v in fine:
+            best = max(coarse, key=lambda t: (_c(v, t[1]), -t[0]))
+            members.setdefault(best[0], []).append(v)
+        coarse = [(j, [round(sum(col) / len(vs), round_dec)
+                       for col in zip(*vs)])
+                  for j, vs in sorted(members.items())]
+    return coarse
+
+
 def ivf_assign_two_level(emb: DataFrame, centroids: list, *,
                          coarse_probes: int = 2,
-                         nprobe: int = 4) -> DataFrame:
+                         nprobe: int = 4,
+                         coarse_centroids: list | None = None) -> DataFrame:
     """Two-level IVF assignment: a coarse quantizer over the centroid
     table cuts the N·k fine-assignment cosines to
     ``N·(k' + coarse_probes·k/k')`` with k' ≈ √k.
@@ -134,10 +180,13 @@ def ivf_assign_two_level(emb: DataFrame, centroids: list, *,
     coarse first level; with k ∝ N this restores ~N^1.5 total
     assignment work, and the within-cell pair math stays linear.
 
-    Coarse table = every ⌈√k⌉-th fine centroid by cell_id (strided
-    subset — deterministic and directly SQL-expressible, so the DuckDB
-    oracle replicates the whole path; a TRAINED coarse level drops into
-    the same slot). The fine→coarse routing map is computed with the
+    Coarse table = ``coarse_centroids`` when given (the TRAINED
+    production path — :func:`train_coarse_quantizer`, driver-side
+    Lloyd's over the model-sized fine-centroid table), else every
+    ⌈√k⌉-th fine centroid by cell_id (strided subset — the round-4
+    untrained fallback, kept for the measured A/B). Both are
+    deterministic and SQL-expressible, so the DuckDB oracle replicates
+    the whole path. The fine→coarse routing map is computed with the
     same rounded-cosine/(id tie-break) contract as every other
     cross-engine ranking (k×k' rows — model-sized).
 
@@ -152,8 +201,13 @@ def ivf_assign_two_level(emb: DataFrame, centroids: list, *,
     cent = F.broadcast(spark.createDataFrame(
         [(int(c), list(map(float, v))) for c, v in centroids],
         "cell_id int, cv array<double>"))
-    coarse = cent.filter(f"cell_id % {step} = 0").selectExpr(
-        "cell_id AS coarse_id", "cv AS qv")
+    if coarse_centroids is not None:
+        coarse = F.broadcast(spark.createDataFrame(
+            [(int(c), list(map(float, v))) for c, v in coarse_centroids],
+            "coarse_id int, qv array<double>"))
+    else:
+        coarse = cent.filter(f"cell_id % {step} = 0").selectExpr(
+            "cell_id AS coarse_id", "cv AS qv")
     # fine→coarse routing (k×k' rows; rounded cosine, deterministic ties)
     f2c = (cent.crossJoin(F.broadcast(coarse))
            .selectExpr("cell_id", "coarse_id",
@@ -212,15 +266,20 @@ def dedup_embedding_bucketed(emb: DataFrame, *, threshold: float = 0.4,
 def dedup_embedding_twolevel(emb: DataFrame, centroids: list, *,
                              threshold: float = 0.7,
                              coarse_probes: int = 2,
-                             nprobe: int = 4) -> DataFrame:
+                             nprobe: int = 4,
+                             coarse_centroids: list | None = None
+                             ) -> DataFrame:
     """Embedding dedup through the TWO-LEVEL assignment
     (:func:`ivf_assign_two_level`) — the k ∝ N configuration whose flat
     assignment would be quadratic. Same distinct-pairs-first /
     broadcast-unit-vectors pair pipeline as
-    :func:`dedup_embedding_bucketed`."""
+    :func:`dedup_embedding_bucketed`. Pass ``coarse_centroids`` from
+    :func:`train_coarse_quantizer` for the trained (production) coarse
+    level."""
     assign = ivf_assign_two_level(emb, centroids,
                                   coarse_probes=coarse_probes,
-                                  nprobe=nprobe)
+                                  nprobe=nprobe,
+                                  coarse_centroids=coarse_centroids)
     return _dedup_from_assign(emb, assign, threshold)
 
 
@@ -558,14 +617,19 @@ def dedup_twolevel_oracle_sql(*, threshold: float = 0.7, k: int = 16,
                               iters: int = 2, nprobe: int = 4,
                               coarse_probes: int = 2,
                               round_dec: int = 6,
+                              trained_coarse: bool = False,
+                              coarse_iters: int = 2,
                               table: str = "embeddings") -> str:
     """DuckDB twin of kmeans_cells → dedup_embedding_twolevel: the
-    trained-centroid CTE chain, then the strided coarse table, the
+    trained-centroid CTE chain, then the coarse table — strided subset,
+    or with ``trained_coarse`` the :func:`train_coarse_quantizer`
+    Lloyd's iterations unrolled as CTEs over the fine table — the
     rounded-cosine fine→coarse routing, coarse probing, fine assignment
     restricted to probed coarse cells, and the distinct-pairs/unit-dot
     pipeline — every ranking uses the same ROUND(cos, 6) + id tie-break
     contract as the Spark path."""
     step = max(1, int(k ** 0.5))
+    kc = max(1, int(k ** 0.5))
     cos_vc = ("ROUND(list_dot_product(e.v, f.cv) / "
               "(sqrt(list_dot_product(e.v, e.v)) * "
               "sqrt(list_dot_product(f.cv, f.cv))), 6)")
@@ -577,10 +641,43 @@ def dedup_twolevel_oracle_sql(*, threshold: float = 0.7, k: int = 16,
               "sqrt(list_dot_product(q.qv, q.qv))), 6)")
     parts = _kmeans_cte_parts(k=k, iters=iters, round_dec=round_dec,
                               table=table)
-    return ("WITH" + ",".join(parts) + f""",
-    fine AS (SELECT cell_id, cv FROM cent{iters}),
+    if trained_coarse:
+        # train_coarse_quantizer mirrored in SQL: init = k' lowest fine
+        # cell_ids labelled 0..k'-1, round(cos,6)/lowest-id assignment,
+        # per-dim AVG rounded to round_dec, empty clusters dropped by
+        # GROUP BY (as the Python dict does).
+        cos_fq = ("ROUND(list_dot_product(f.cv, q.qv) / "
+                  "(sqrt(list_dot_product(f.cv, f.cv)) * "
+                  "sqrt(list_dot_product(q.qv, q.qv))), 6)")
+        coarse_parts = [f"""
+    ccent0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY cell_id) - 1 AS INTEGER)
+               AS coarse_id, cv AS qv
+      FROM (SELECT cell_id, cv FROM fine ORDER BY cell_id LIMIT {kc}))"""]
+        for i in range(coarse_iters):
+            coarse_parts.append(f"""
+    cassign{i} AS (
+      SELECT cell_id, cv, coarse_id FROM (
+        SELECT f.cell_id, f.cv, q.coarse_id,
+               ROW_NUMBER() OVER (PARTITION BY f.cell_id
+                                  ORDER BY {cos_fq} DESC, q.coarse_id)
+                 AS rnk
+        FROM fine f, ccent{i} q) WHERE rnk = 1),
+    ccent{i + 1} AS (
+      SELECT coarse_id, list(ROUND(m, {round_dec}) ORDER BY d) AS qv
+      FROM (
+        SELECT a.coarse_id, dims.d, AVG(a.cv[dims.d]) AS m
+        FROM cassign{i} a, dims
+        GROUP BY a.coarse_id, dims.d)
+      GROUP BY coarse_id)""")
+        coarse_sql = (",".join(coarse_parts) + f""",
+    coarse AS (SELECT coarse_id, qv FROM ccent{coarse_iters})""")
+    else:
+        coarse_sql = f"""
     coarse AS (SELECT cell_id AS coarse_id, cv AS qv FROM fine
-               WHERE cell_id % {step} = 0),
+               WHERE cell_id % {step} = 0)"""
+    return ("WITH" + ",".join(parts) + f""",
+    fine AS (SELECT cell_id, cv FROM cent{iters}),{coarse_sql},
     routing AS (
       SELECT cell_id, coarse_id FROM (
         SELECT f.cell_id, q.coarse_id,

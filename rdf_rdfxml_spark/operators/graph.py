@@ -24,17 +24,24 @@ from pyspark.sql import functions as F
 
 
 def connected_components(edges: DataFrame, *, max_iters: int = 25,
-                         checkpoint: bool = True) -> DataFrame:
+                         checkpoint: bool = True,
+                         stats: dict | None = None) -> DataFrame:
     """``edges(a, b)`` (undirected pairs) → ``(node, component)`` where
     ``component`` is the minimum node id in the node's component.
     Only nodes appearing in at least one edge are returned (singletons
-    carry no dedup decision)."""
+    carry no dedup decision).
+
+    ``stats``: optional dict filled with ``rounds`` (propagation rounds
+    to convergence, = component diameter bound) — the attribution
+    telemetry for scale runs: wall growth is rounds × per-round join
+    cost, so recording rounds separates diameter growth from fan-out
+    growth (tools/scale_proof.py, round-5 verdict #2)."""
     sym = (edges.selectExpr("a AS src", "b AS dst")
            .unionByName(edges.selectExpr("b AS src", "a AS dst")))
     labels = (sym.select(F.col("src").alias("node")).distinct()
               .withColumn("component", F.col("node")))
     converged = False
-    for _ in range(max_iters):
+    for _it in range(max_iters):
         # candidate labels from neighbors, keep the minimum
         prop = (sym.join(labels, sym["src"] == labels["node"])
                 .select(F.col("dst").alias("node"),
@@ -53,6 +60,8 @@ def connected_components(edges: DataFrame, *, max_iters: int = 25,
         labels = new_labels
         if changed == 0:
             converged = True
+            if stats is not None:
+                stats["rounds"] = _it + 1
             break
     if not converged:
         # Silent partial propagation = wrong components; fail loud. A graph

@@ -184,7 +184,7 @@ def test_twolevel_dedup_recall(spark, vectors):
     only reroutes vectors near coarse boundaries)."""
     from rdf_rdfxml_spark.operators.ann import (
         dedup_embedding_twolevel, ivf_assign, ivf_assign_two_level,
-        kmeans_cells, with_neardup_twins,
+        kmeans_cells, train_coarse_quantizer, with_neardup_twins,
     )
     ids, v = vectors
     n_twins, off, mix = 20, 100000, 0.05
@@ -201,14 +201,25 @@ def test_twolevel_dedup_recall(spark, vectors):
     emb = with_neardup_twins(load_embeddings(spark, SF_DIR),
                              n_twins=n_twins, id_offset=off, mix=mix)
     _, centroids = kmeans_cells(emb, k=16, iters=2)
+    # TRAINED coarse level (driver-side Lloyd's over the centroid table)
+    # — the production default since round 5: recall 1.0 on this corpus
+    # (the strided subset below missed 1/20 — the boundary-straddling
+    # twin the trained centroids recover).
+    coarse = train_coarse_quantizer(centroids)
+    got_t = {(r["a"], r["b"]) for r in
+             dedup_embedding_twolevel(emb, centroids, threshold=0.7,
+                                      coarse_centroids=coarse).collect()}
+    assert got_t == truth, (
+        f"trained two-level: missed {truth - got_t}, extra {got_t - truth}")
+
     got = {(r["a"], r["b"]) for r in
            dedup_embedding_twolevel(emb, centroids,
                                     threshold=0.7).collect()}
-    # two-level is approximate BY DESIGN: a twin pair straddling a coarse
-    # boundary can land in disjoint probed cells (observed: 1 of 20 on
-    # this corpus). Precision must stay perfect; recall is measured and
-    # bounded — the flat-assignment path (dedup_embedding_trained) is the
-    # recall-1.0 configuration, this one is the assignment-cost ceiling.
+    # strided-subset coarse level is approximate BY DESIGN: a twin pair
+    # straddling a coarse boundary can land in disjoint probed cells
+    # (observed: 1 of 20 on this corpus). Precision must stay perfect;
+    # recall is measured and bounded — kept as the untrained A/B
+    # fallback, not the default.
     assert got <= truth           # precision 1.0
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9, f"two-level recall {recall}"
