@@ -104,6 +104,17 @@ def stream_neardup_flags(docs_stream: DataFrame, *,
     batch rule "every doc except the bucket minimum, paired with the
     minimum, ordering by (ts, doc_id)" — which is SQL-expressible, so
     the driver oracle can check this path end-to-end.
+
+    Horizon expiry is EVENT-TIME-DETERMINISTIC, enforced inside the
+    state function (round-4 verdict nit #3): a bucket whose last event is
+    more than ``horizon_seconds`` before the next arrival starts a new
+    epoch — the newcomer becomes the bucket's first document and is NOT
+    paired across the gap — regardless of how arrivals fall into
+    microbatches. The state timeout is only garbage collection: relying
+    on it for semantics would make expiry depend on whether a no-data
+    microbatch happened to advance the watermark before the next arrival
+    (a key that receives data in the same batch as its would-be timeout
+    is handed its old state, not hasTimedOut).
     """
     import pandas as pd
 
@@ -115,7 +126,7 @@ def stream_neardup_flags(docs_stream: DataFrame, *,
         n_hashes=n_hashes, n_bands=n_bands, shingle=shingle,
         passthrough=ts_col).withWatermark(ts_col, watermark)
 
-    state_schema = "first_doc long, first_ts long"
+    state_schema = "first_doc long, first_ts long, last_ts long"
     out_schema = "doc_id long, band_id int, dup_of long"
 
     def update(key, pdfs, state: GroupState):
@@ -129,16 +140,25 @@ def stream_neardup_flags(docs_stream: DataFrame, *,
                 rows.append((int(ts.timestamp()), int(d)))
         rows.sort()
         if state.exists:
-            first_doc, first_ts = state.get
+            first_doc, first_ts, last_ts = state.get
         else:
             first_ts, first_doc = rows[0]
-        flagged = [(d, band_id, first_doc)
-                   for ts, d in rows if d != first_doc]
-        state.update((first_doc, first_ts))
-        # retire the bucket horizon_seconds past its last event (event-time
-        # clock — deterministic on replay; must stay ahead of the watermark)
+            last_ts = first_ts
+        flagged = []
+        for ts, d in rows:
+            if ts > last_ts + horizon_seconds:
+                # horizon passed with no bucket activity: expired — the
+                # newcomer opens a new epoch, no pair across the gap
+                first_doc, first_ts = d, ts
+            elif d != first_doc:
+                flagged.append((d, band_id, first_doc))
+            last_ts = max(last_ts, ts)
+        state.update((first_doc, first_ts, last_ts))
+        # GC: retire the bucket horizon_seconds past its last event
+        # (event-time clock — deterministic on replay; must stay ahead
+        # of the watermark)
         state.setTimeoutTimestamp(
-            max((rows[-1][0] + horizon_seconds) * 1000,
+            max((last_ts + horizon_seconds) * 1000,
                 state.getCurrentWatermarkMs() + 1))
         if flagged:
             yield pd.DataFrame(flagged,
