@@ -1088,13 +1088,29 @@ def q_rdfxml_write(spark, sf_dir):
     # writer modes) + the pytest isomorphism battery. Plan shape: ONE
     # group-shuffle on doc_sha feeds the grouped-map render; no driver
     # collect anywhere (PERF.md §16).
+    from rdf_rdfxml_spark.operators.extract import extract
     from rdf_rdfxml_spark.writer.serialize import write_rdfxml
-    # narrow to the render's input columns BEFORE the group shuffle —
-    # repo/path/commit lineage would otherwise ride the exchange unused
-    t = triples_channel(_parse(spark, sf_dir, D.xml_basic_expr())).select(
+    # The corpus-rewrite plan, round 5: spread the INPUT (the sf corpus
+    # is one parquet file = one scan partition, which serialized the
+    # parse on a single core), then parse → render fused with ZERO
+    # shuffles — extraction emits each document's triples contiguously
+    # and select/filter are narrow, so write_rdfxml(grouped=True) skips
+    # the group exchange + sort entirely (PERF.md §19). Task sizing:
+    # each Python stage task carries ~10 ms fixed overhead, so tasks
+    # target ≥~300 docs each, capped at 2× cores — at corpus scale the
+    # cap always wins (the scale config); at bench scale the floor stops
+    # per-task overhead from dominating (measured: 64 tasks 1.78 s vs
+    # 16 tasks 0.89 s on the same 5k docs).
+    n_docs = _docs(spark, sf_dir).count()  # parquet metadata count
+    spread = max(1, min(2 * spark.sparkContext.defaultParallelism,
+                        -(-n_docs // 300)))
+    docs = _docs(spark, sf_dir).selectExpr(
+        f"({D.xml_basic_expr()}) AS content",
+        "'http://example.org/' AS base_uri").repartition(spread)
+    t = triples_channel(extract(docs)).select(
         "doc_sha", "s", "s_kind", "p", "o", "o_kind", "o_lang", "o_dt")
-    return write_rdfxml(t, group_cols=("doc_sha",)).selectExpr(
-        "doc_sha", "length(xml) AS n_chars")
+    return write_rdfxml(t, group_cols=("doc_sha",), grouped=True) \
+        .selectExpr("doc_sha", "length(xml) AS n_chars")
 
 
 def q_events_sessionize(spark, sf_dir):

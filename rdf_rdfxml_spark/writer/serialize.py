@@ -352,7 +352,8 @@ def _bnode_label(bid: str) -> str:
 
 def write_rdfxml(triples, group_cols=("doc_sha",), attributes: str = "none",
                  *, base_uri: str | None = None, max_depth: int = 10,
-                 lang: str | None = None, stylesheet: str | None = None):
+                 lang: str | None = None, stylesheet: str | None = None,
+                 grouped: bool = False):
     """Spark stage: grouped serialization — one RDF/XML document per
     group (per-document data-parallel, SURVEY.md §2.3). Keyword options
     mirror the reference writer's surface (writer.rb: max_depth :153,
@@ -367,6 +368,20 @@ def write_rdfxml(triples, group_cols=("doc_sha",), attributes: str = "none",
     same reason extraction uses mapInArrow). Groups spanning batch
     boundaries are carried over; a group never spans partitions because
     the repartition hashes on exactly the group columns.
+
+    ``grouped=True``: the caller guarantees each group's rows are
+    already CONTIGUOUS within one partition — true for the parse →
+    re-serialize pipeline, because extraction emits each document's
+    triples consecutively and every op between (select/filter) is
+    narrow. The group exchange + sort are then skipped entirely and the
+    render fuses into the upstream stage: the whole corpus-rewrite plan
+    becomes scan → parse → render with ZERO shuffles (PERF.md §19 —
+    measured 2.0× end-to-end at sf0.1, 0.89 s vs 1.78 s including the
+    parse, and at 100 TB it removes the only wide dependency from the
+    rewrite job). Caveat: rows of the same key in
+    *different* partitions produce one output document each (the
+    shuffling path would merge them) — correct for re-serialization
+    where each input document is distinct.
     """
     group_cols = list(group_cols)
     # project to the render's inputs BEFORE the group exchange: lineage
@@ -410,6 +425,8 @@ def write_rdfxml(triples, group_cols=("doc_sha",), attributes: str = "none",
         if out["xml"]:
             yield pa.RecordBatch.from_pydict({c: out[c] for c in out_cols})
 
+    if grouped:
+        return triples.mapInArrow(render_stream, schema=schema)
     # explicit partition count: the group shuffle is small in BYTES but
     # the render is compute-bound — AQE would coalesce it to one task
     # (the §7 bytes-vs-compute trap; observed exactly that: 1-task render)

@@ -497,6 +497,31 @@ def test_stream_neardup_cross_batch_state(spark, tmp_path):
     assert len({r["band_id"] for r in got}) >= 4
 
 
+def test_write_rdfxml_grouped_fast_path(spark):
+    """``write_rdfxml(grouped=True)`` — the zero-shuffle corpus-rewrite
+    path — must produce the identical per-document XML as the
+    repartition+sort path when its contiguity contract holds (triples
+    straight from extraction, multiple input partitions)."""
+    from rdf_rdfxml_spark.operators.extract import extract
+    from rdf_rdfxml_spark.writer.serialize import write_rdfxml
+    rdfns = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    docs = spark.createDataFrame(
+        [(f'<rdf:RDF xmlns:rdf="{rdfns}" xmlns:v="http://example.org/v#">'
+          f'<rdf:Description rdf:about="http://example.org/{i}">'
+          f'<v:p xml:lang="en">text {i}</v:p>'
+          f'<v:q rdf:resource="http://example.org/o{i % 7}"/>'
+          f'</rdf:Description></rdf:RDF>', "http://example.org/")
+         for i in range(50)],
+        "content string, base_uri string").repartition(4)
+    t = extract(docs).filter("rec='triple'").select(
+        "doc_sha", "s", "s_kind", "p", "o", "o_kind", "o_lang", "o_dt")
+    fast = {r["doc_sha"]: r["xml"]
+            for r in write_rdfxml(t, grouped=True).collect()}
+    slow = {r["doc_sha"]: r["xml"] for r in write_rdfxml(t).collect()}
+    assert len(fast) == 50
+    assert fast == slow
+
+
 def test_stream_neardup_horizon_expiry(spark, tmp_path):
     """Watermark-expiry path end-to-end (round-4 verdict nit #3 /
     round-5 #4): a near-dup arriving more than ``horizon_seconds`` after
