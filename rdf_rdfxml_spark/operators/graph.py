@@ -23,6 +23,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_join(probe: DataFrame, build: DataFrame, key: str, *,
+                salt_factor: int = 8, hot_keys: list | None = None,
+                hot_support: float = 0.05,
+                how: str = "inner") -> DataFrame:
+    """Hot-key-targeted salted equi-join for skewed graph traversals —
+    the generic form of the ``encode_triples`` dictionary-salt pattern
+    (linking.py), for joins like the two-hop ``object = subject``
+    self-join where one hub node holds most of the probe rows (the
+    shape real KGs have: a handful of entities referenced by 90% of
+    documents).
+
+    Only heavy-hitter keys salt: ``build`` rows for hot keys replicate
+    ``salt_factor`` ways, ``probe`` rows for hot keys take a
+    deterministic row-derived salt (xxhash64 over ALL probe columns —
+    no rand(), retries idempotent), everything else keeps salt 0. The
+    join RESULT is identical to the unsalted join for any hot set; only
+    the physical distribution changes — the hub's rows spread over
+    ``salt_factor`` reducers instead of one straggler.
+
+    ``hot_keys``: heavy-hitter key values; detected with one
+    ``freqItems`` pass over the probe side when ``None`` (cache and
+    pass explicitly across repeated joins of a static graph).
+    Measured on a 90%-hot-hub two-hop at 8M edges: straggler ratio
+    3.5 → ~1.0 (PERF.md §20)."""
+    if hot_keys is None:
+        freq = probe.stat.freqItems([key], support=hot_support).first()
+        hot_keys = sorted(set(freq[0]))
+    if hot_keys:
+        def _is_hot(c):
+            return F.col(c).isin(list(hot_keys))
+    else:
+        def _is_hot(c):
+            return F.lit(False)
+    b = build.withColumn(
+        "_salt", F.explode(F.when(
+            _is_hot(key),
+            F.array(*[F.lit(i) for i in range(salt_factor)]))
+            .otherwise(F.array(F.lit(0)))))
+    p = probe.withColumn(
+        "_salt",
+        F.when(_is_hot(key),
+               F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]),
+                      F.lit(salt_factor)).cast("int"))
+        .otherwise(F.lit(0)))
+    return p.join(b, [key, "_salt"], how).drop("_salt")
+
+
 def connected_components(edges: DataFrame, *, max_iters: int = 25,
                          checkpoint: bool = True,
                          stats: dict | None = None) -> DataFrame:

@@ -373,3 +373,24 @@ def test_tfidf_keywords_semantics(spark):
     # doc 2: zebra tf=2 df=1 → 6.0 beats common 1.0
     assert rows[(2, 1)]["term"] == "zebra" and rows[(2, 1)]["score_r"] == 6.0
     assert rows[(3, 1)]["term"] == "apple" and rows[(3, 1)]["score_r"] == 3.0
+
+
+def test_salted_join_value_identity(spark):
+    """graph.salted_join must equal the plain equi-join for ANY hot set
+    (detected, supplied, or empty) — salting only changes the physical
+    distribution, never the result — on a 90%-hot-hub graph."""
+    from rdf_rdfxml_spark.operators.graph import salted_join
+    hop1 = spark.range(2000).selectExpr(
+        "concat('d', id) AS doc",
+        "CASE WHEN id % 10 < 9 THEN 'HUB' "
+        "ELSE concat('m', id) END AS mid")
+    hop2 = (hop1.select("mid").distinct()
+            .selectExpr("mid", "concat('o-', mid) AS origin"))
+    plain = {(r["doc"], r["origin"]) for r in
+             hop1.join(hop2, "mid").select("doc", "origin").collect()}
+    assert len(plain) == 2000
+    for hot in (None, ["HUB"], []):
+        got = {(r["doc"], r["origin"]) for r in
+               salted_join(hop1, hop2, "mid", hot_keys=hot)
+               .select("doc", "origin").collect()}
+        assert got == plain, f"hot_keys={hot}"
