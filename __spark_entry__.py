@@ -744,10 +744,11 @@ def q_stream_neardup(spark, sf_dir):
     # established in batch 1, making the two-round union equal to the
     # single-pass relational rule "every doc except the bucket minimum by
     # (ts, doc_id), paired with the minimum" — which the DuckDB oracle
-    # computes. (Watermark expiry between rounds would break the
-    # equivalence only if the ts span exceeded the 1 h horizon; the
-    # synthetic ts = 1700000000 + doc_id keeps the sf0.01 gate corpus
-    # well inside it.)
+    # computes. (Bucket epochs expire 1 h past their last event —
+    # event-time-deterministic since round 5, driven end-to-end by
+    # test_stream_neardup_horizon_expiry; the synthetic
+    # ts = 1700000000 + doc_id keeps the sf0.01 gate corpus well inside
+    # one epoch, so the oracle needs no expiry arm.)
     from rdf_rdfxml_spark.streaming.stream import stream_neardup_flags
     base = _scratch("stream_neardup")
     in_dir = os.path.join(base, "in")
