@@ -7,8 +7,10 @@ blocks, frame sync with CRC-8-checked headers and CRC-16-checked frames,
 UTF-8-coded frame numbers, all four channel assignments (independent,
 left/side, right/side, mid/side), subframe types CONSTANT / VERBATIM /
 FIXED (orders 0-4) / LPC (any order), wasted bits, Rice/Rice2 residual
-partitions including escape-coded raw partitions. Ogg-encapsulated FLAC
-is out of scope (``DecodeError``).
+partitions including escape-coded raw partitions — plus Ogg-encapsulated
+FLAC (round 5): RFC 3533 pages with the deliberately-non-zlib CRC-32,
+packet continuation across pages, and the FLAC-to-Ogg mapping packet
+(:func:`decode_ogg_flac` / :func:`encode_ogg_flac`).
 
 The encoder emits VERBATIM, FIXED-predicted, or Levinson-Durbin LPC
 subframes (``lpc_order`` > 0; picked per block when it beats the fixed
@@ -454,6 +456,20 @@ def encode_flac(samples: np.ndarray, rate: int, *, bps: int = 16,
     ``fixed_order`` < 0). Lossless by construction — the residual is the
     exact integer mirror of the decoder's predictor — which is the
     round-trip test contract."""
+    header, frames = _encode_flac_parts(samples, rate, bps=bps,
+                                        blocksize=blocksize,
+                                        fixed_order=fixed_order,
+                                        lpc_order=lpc_order)
+    return header + b"".join(frames)
+
+
+def _encode_flac_parts(samples: np.ndarray, rate: int, *, bps: int = 16,
+                       blocksize: int = 1024, fixed_order: int = 2,
+                       lpc_order: int = 0) -> tuple:
+    """encode_flac split at the container seam: returns
+    ``(header_bytes, [frame_bytes, ...])`` — the native stream is their
+    concatenation; the Ogg mapping needs the frames individually (one
+    audio packet per frame)."""
     if samples.ndim != 2:
         raise ValueError("samples must be (n, channels)")
     n, channels = samples.shape
@@ -473,6 +489,7 @@ def encode_flac(samples: np.ndarray, rate: int, *, bps: int = 16,
     ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}.get(bps)
     if ss_code is None:
         raise ValueError(f"unsupported bps {bps}")
+    frames = []
     for fi, start in enumerate(range(0, n, blocksize)):
         blk = samples[start:start + blocksize]
         bw = _BitWriter()
@@ -512,5 +529,180 @@ def encode_flac(samples: np.ndarray, rate: int, *, bps: int = 16,
         bw.align()
         body = bytes(bw.out)
         bw.write(_crc16(body), 16)
-        out += bw.out
+        frames.append(bytes(bw.out))
+    return bytes(out), frames
+
+
+# --- Ogg encapsulation (RFC 3533 pages + the FLAC-to-Ogg mapping) --------
+
+_OGG_CRC_TABLE = []
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC-32: polynomial 0x04C11DB7, MSB-first, init 0,
+    no final xor (RFC 3533 §6 — deliberately NOT the zlib crc32)."""
+    if not _OGG_CRC_TABLE:
+        for b in range(256):
+            r = b << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if r & 0x80000000 \
+                    else (r << 1) & 0xFFFFFFFF
+            _OGG_CRC_TABLE.append(r)
+    crc = 0
+    for byte in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[
+            ((crc >> 24) & 0xFF) ^ byte]
+    return crc
+
+
+def _ogg_page(serial: int, seq: int, granule: int, header_type: int,
+              lacing: list, body: bytes) -> bytes:
+    hdr = bytearray(b"OggS")
+    hdr += bytes([0, header_type])
+    hdr += (granule & ((1 << 64) - 1)).to_bytes(8, "little")
+    hdr += serial.to_bytes(4, "little")
+    hdr += seq.to_bytes(4, "little")
+    hdr += b"\x00\x00\x00\x00"                 # CRC placeholder
+    hdr += bytes([len(lacing)]) + bytes(lacing)
+    page = bytes(hdr) + body
+    crc = _ogg_crc(page)
+    return page[:22] + crc.to_bytes(4, "little") + page[26:]
+
+
+def encode_ogg_flac(samples: np.ndarray, rate: int, *,
+                    max_segs_per_page: int = 255, **kw) -> bytes:
+    """(n, channels) int → Ogg-encapsulated FLAC (the FLAC-to-Ogg
+    mapping): BOS page carrying the 0x7F"FLAC" mapping header + fLaC +
+    STREAMINFO as its only packet, then one audio packet per FLAC frame,
+    packed into CRC'd pages. ``max_segs_per_page`` below 255 forces
+    packets to span pages (continued-packet flag) — the demux path a
+    real many-frame stream exercises."""
+    header, frames = _encode_flac_parts(samples, rate, **kw)
+    streaminfo_block = header[4:]               # 4-byte block hdr + 34
+    first = (bytes([0x7F]) + b"FLAC" + bytes([1, 0])
+             + (0).to_bytes(2, "big") + b"fLaC" + streaminfo_block)
+    out = bytearray()
+    out += _ogg_page(0x464C4143, 0, 0, 0x02,
+                     _lacing_for(len(first)), first)
+    seq = 1
+    blocksize = kw.get("blocksize", 1024)
+    pend_lace: list = []
+    pend_body = bytearray()
+    pend_granule = 0
+    pend_continued = False
+
+    def flush(eos: bool, continued_out: bool):
+        nonlocal out, seq, pend_lace, pend_body, pend_continued
+        ht = (0x01 if pend_continued else 0) | (0x04 if eos else 0)
+        # a page whose last packet continues elsewhere reports granule -1
+        gran = pend_granule if not continued_out else (1 << 64) - 1
+        out += _ogg_page(0x464C4143, seq, gran, ht, pend_lace,
+                         bytes(pend_body))
+        seq += 1
+        pend_lace, pend_body = [], bytearray()
+        pend_continued = continued_out
+
+    n = samples.shape[0]
+    for fi, frame in enumerate(frames):
+        lace = _lacing_for(len(frame))
+        pos = 0
+        while lace:
+            room = max_segs_per_page - len(pend_lace)
+            take = lace[:room]
+            nbytes = sum(take)
+            pend_lace += take
+            pend_body += frame[pos:pos + nbytes]
+            pos += nbytes
+            lace = lace[room:]
+            if lace:                    # packet continues on a new page
+                flush(False, True)
+        pend_granule = min((fi + 1) * blocksize, n)
+        if len(pend_lace) >= max_segs_per_page:
+            flush(fi == len(frames) - 1, False)
+    if pend_lace or not frames:
+        pend_granule = n
+        flush(True, False)
     return bytes(out)
+
+
+def _lacing_for(nbytes: int) -> list:
+    lace = [255] * (nbytes // 255) + [nbytes % 255]
+    return lace                          # trailing 0 terminates ×255 runs
+
+
+def _ogg_packets(payload: bytes):
+    """Ogg demux: yield complete logical packets (CRC-checked pages,
+    continuation handled). Typed DecodeError on any malformation."""
+    pos = 0
+    partial = bytearray()
+    expect_seq = None
+    while pos < len(payload):
+        if payload[pos:pos + 4] != b"OggS":
+            raise DecodeError("bad Ogg capture pattern")
+        if pos + 27 > len(payload):
+            raise DecodeError("truncated Ogg page header")
+        if payload[pos + 4] != 0:
+            raise DecodeError("unsupported Ogg version")
+        header_type = payload[pos + 5]
+        seq = int.from_bytes(payload[pos + 18:pos + 22], "little")
+        crc = int.from_bytes(payload[pos + 22:pos + 26], "little")
+        nsegs = payload[pos + 26]
+        lace_end = pos + 27 + nsegs
+        if lace_end > len(payload):
+            raise DecodeError("truncated Ogg lacing table")
+        lacing = payload[pos + 27:lace_end]
+        body_len = sum(lacing)
+        page_end = lace_end + body_len
+        if page_end > len(payload):
+            raise DecodeError("truncated Ogg page body")
+        page = bytearray(payload[pos:page_end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != crc:
+            raise DecodeError("Ogg page CRC mismatch")
+        if expect_seq is not None and seq != expect_seq:
+            raise DecodeError("Ogg page sequence gap")
+        expect_seq = seq + 1
+        if partial and not header_type & 0x01:
+            raise DecodeError("Ogg continued packet dropped")
+        if not partial and header_type & 0x01:
+            raise DecodeError("unexpected Ogg continuation flag")
+        body_pos = lace_end
+        for i, lv in enumerate(lacing):
+            partial += payload[body_pos:body_pos + lv]
+            body_pos += lv
+            if lv < 255:
+                yield bytes(partial)
+                partial = bytearray()
+        pos = page_end
+    if partial:
+        raise DecodeError("Ogg stream ends mid-packet")
+
+
+def decode_ogg_flac(payload: bytes):
+    """Ogg-FLAC → (samples, rate, bps): demux the pages, rebuild the
+    native stream (fLaC + STREAMINFO with the last-metadata flag forced
+    + the audio-packet frames, skipping any extra header packets), then
+    reuse :func:`decode_flac`."""
+    packets = _ogg_packets(payload)
+    try:
+        first = next(packets)
+    except StopIteration:
+        raise DecodeError("empty Ogg stream") from None
+    if len(first) < 51 or first[0] != 0x7F or first[1:5] != b"FLAC":
+        raise DecodeError("not an Ogg-FLAC mapping packet")
+    if first[5] != 1:                           # major version
+        raise DecodeError("unsupported Ogg-FLAC mapping version")
+    n_headers = int.from_bytes(first[7:9], "big")
+    if first[9:13] != b"fLaC":
+        raise DecodeError("Ogg-FLAC first packet missing fLaC")
+    streaminfo_block = bytearray(first[13:])
+    streaminfo_block[0] |= 0x80                 # force last-metadata
+    native = bytearray(b"fLaC") + streaminfo_block
+    for _ in range(n_headers):                  # skip extra header pkts
+        try:
+            next(packets)
+        except StopIteration:
+            raise DecodeError("missing Ogg-FLAC header packets") from None
+    for frame in packets:
+        native += frame
+    return decode_flac(bytes(native))

@@ -705,12 +705,14 @@ def _decode_wav_checked(payload: bytes) -> tuple:
 
 
 def _decode_audio_checked(payload: bytes) -> tuple:
-    """Audio container dispatch (RIFF/WAVE or native FLAC) with the
-    typed-error guarantee — the shared entry for the feature UDF."""
-    if payload[:4] == b"fLaC":
-        from .flac import decode_flac
+    """Audio container dispatch (RIFF/WAVE, native FLAC, or Ogg-FLAC)
+    with the typed-error guarantee — the shared entry for the feature
+    UDF."""
+    if payload[:4] in (b"fLaC", b"OggS"):
+        from .flac import decode_flac, decode_ogg_flac
+        dec = decode_ogg_flac if payload[:4] == b"OggS" else decode_flac
         try:
-            samples, rate, _bps = decode_flac(payload)
+            samples, rate, _bps = dec(payload)
         except DecodeError:
             raise
         except Exception as e:
@@ -943,7 +945,8 @@ def synth_audio(spark, n: int = 8, rate: int = 8000,
     rows = []
     for i in range(n):
         media_id, payload = synth_audio_item(i, rate=rate, ms=ms)
-        mime = "audio/flac" if payload[:4] == b"fLaC" else "audio/wav"
+        mime = {b"fLaC": "audio/flac", b"OggS": "audio/ogg"}.get(
+            payload[:4], "audio/wav")
         rows.append((media_id, "audio", mime,
                      bytearray(payload), None, None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -954,13 +957,17 @@ def synth_audio_item(i: int, *, rate: int = 8000, ms: int = 50) -> tuple:
     t = np.arange(int(rate * ms / 1000)) / rate
     freq = 220.0 * (i + 1)
     wave = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
-    codec = (None, "mulaw", "alaw", "adpcm", "flac")[i % 5]
+    codec = (None, "mulaw", "alaw", "adpcm", "flac", "oggflac")[i % 6]
     if codec is None:
         payload = encode_wav(wave.reshape(-1, 1), rate)
     elif codec == "flac":
         from .flac import encode_flac
         payload = encode_flac(wave.reshape(-1, 1).astype(np.int32),
                               rate, lpc_order=8)
+    elif codec == "oggflac":
+        from .flac import encode_ogg_flac
+        payload = encode_ogg_flac(wave.reshape(-1, 1).astype(np.int32),
+                                  rate, lpc_order=8)
     else:
         payload = encode_wav_compressed(wave.reshape(-1, 1), rate, codec)
     return "a%04d" % i, payload

@@ -1115,6 +1115,51 @@ def test_flac_bad_partition_order_typed_error():
         FL._decode_residual(_Bits([0, 10]), 1024, 2)
 
 
+def test_ogg_flac_roundtrip_and_validation():
+    """Ogg-encapsulated FLAC (round 5, closing a declared codec seam):
+    lossless round trip through real RFC 3533 pages — including tiny
+    pages that force packet continuation across page boundaries — the
+    non-zlib Ogg CRC-32 rejecting corruption, sequence-gap detection,
+    and mapping-header validation, all under the typed-error contract."""
+    import numpy as np
+    import pytest
+
+    from rdf_rdfxml_spark.operators.flac import (
+        decode_flac, decode_ogg_flac, encode_ogg_flac,
+    )
+    from rdf_rdfxml_spark.operators.multimodal import (
+        DecodeError, _decode_audio_checked,
+    )
+    rng = np.random.default_rng(53)
+    s = rng.integers(-2000, 2000, size=(5000, 2)).astype(np.int32)
+    p = encode_ogg_flac(s, 8000, lpc_order=4)
+    dec, rate, bps = decode_ogg_flac(p)
+    assert rate == 8000 and bps == 16 and (dec == s).all()
+    # container dispatch (the UDF entry point)
+    samp, rate2 = _decode_audio_checked(p)
+    assert rate2 == 8000 and (samp == s).all()
+    # 2-segment pages force every frame to span pages (continued flag)
+    p2 = encode_ogg_flac(s, 8000, blocksize=256, max_segs_per_page=2)
+    assert p2.count(b"OggS") > 10
+    assert (decode_ogg_flac(p2)[0] == s).all()
+    # the native decoder must NOT silently accept the Ogg stream
+    with pytest.raises(DecodeError):
+        decode_flac(p)
+    # CRC corruption, truncation, page-sequence gap → typed errors
+    bad = bytearray(p)
+    bad[100] ^= 0xFF
+    with pytest.raises(DecodeError):
+        decode_ogg_flac(bytes(bad))
+    with pytest.raises(DecodeError):
+        decode_ogg_flac(p[:40])
+    pages = [m for m in range(len(p2)) if p2[m:m + 4] == b"OggS"]
+    gap = p2[:pages[2]] + p2[pages[3]:]   # drop one whole page
+    with pytest.raises(DecodeError):
+        decode_ogg_flac(gap)
+    with pytest.raises(DecodeError):
+        decode_ogg_flac(b"OggS" + bytes(60))
+
+
 def test_flac_24bit_stereo():
     """bps=24 stereo round trip at 44.1 kHz — STREAMINFO/bps plumbing
     beyond the 16-bit default."""
