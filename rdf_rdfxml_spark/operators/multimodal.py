@@ -9,8 +9,10 @@ filters, CRC-verified), GIF87a/89a (full variable-width LZW), and JPEG
 (operators/jpeg.py — exact orthonormal DCT, canonical Huffman, SOF0
 baseline AND SOF2 progressive with spectral selection + successive
 approximation, 4:4:4/4:2:2/4:2:0 subsampling, DRI restart markers;
-arithmetic coding is the declared DecodeError seam). WebP/AVIF-grade
-codecs remain the ``NotImplementedError`` seam; ``fake=True``
+arithmetic coding is the declared DecodeError seam) — plus lossless
+WebP (VP8L, operators/webp.py, round 5: all four transforms, color
+cache, meta-Huffman, LZ77; lossy VP8 and AVIF remain the declared
+typed-error seam). ``fake=True``
 additionally enables the deterministic pseudo-pixel decoder for
 plumbing tests over arbitrary payloads.
 
@@ -291,8 +293,9 @@ def decode_image(payload: bytes, *, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
     Real decoders: PPM (P6), 24-bit BMP, PNG (8-bit gray/RGB/RGBA, all
-    five scanline filters, stdlib zlib), GIF (full LZW), and baseline
-    JPEG, dispatched on magic bytes. Typed-error contract: malformed
+    five scanline filters, stdlib zlib), GIF (full LZW), baseline +
+    progressive JPEG, and lossless WebP (VP8L, operators/webp.py),
+    dispatched on magic bytes. Typed-error contract: malformed
     payloads of a RECOGNIZED format always raise ``DecodeError`` (any
     internal slip — IndexError on a truncated header, ValueError on a
     non-numeric field — is wrapped), unknown formats raise
@@ -312,6 +315,9 @@ def decode_image(payload: bytes, *, fake: bool = False) -> np.ndarray:
     elif payload[:3] == b"\xff\xd8\xff":
         from .jpeg import decode_jpeg
         decoder = decode_jpeg
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import decode_webp
+        decoder = decode_webp
     if decoder is not None:
         try:
             return decoder(payload)
@@ -381,7 +387,8 @@ def extract_features(media: DataFrame, *, fake_decode: bool = False,
 def synth_media_item(i: int) -> tuple:
     """Deterministic synthetic media item i: (media_id, mime, payload,
     w, h). Formats rotate PPM / PNG / GIF / baseline JPEG / progressive
-    JPEG (SOF2, 4:2:0) / DRI-4:2:0 JPEG / Adam7-interlaced PNG so every
+    JPEG (SOF2, 4:2:0) / DRI-4:2:0 JPEG / Adam7-interlaced PNG /
+    lossless WebP (VP8L, round 5) so every
     real decoder path —
     including the progressive + subsampled shapes that dominate real
     corpora — is exercised end-to-end through the gated driver query
@@ -394,24 +401,28 @@ def synth_media_item(i: int) -> tuple:
     rng = np.random.default_rng(seed)
     w, h = 4 + (i % 13), 4 + (i % 7)
     img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-    if i % 7 == 1:
+    if i % 8 == 1:
         return ("m%04d" % i, "image/png", encode_png(img), w, h)
-    if i % 7 == 2:
+    if i % 8 == 2:
         return ("m%04d" % i, "image/gif", encode_gif(img), w, h)
-    if i % 7 == 3:
+    if i % 8 == 3:
         from .jpeg import encode_jpeg
         return ("m%04d" % i, "image/jpeg", encode_jpeg(img), w, h)
-    if i % 7 == 4:
+    if i % 8 == 4:
         from .jpeg import encode_jpeg_progressive
         return ("m%04d" % i, "image/jpeg",
                 encode_jpeg_progressive(img, sampling="420"), w, h)
-    if i % 7 == 5:
+    if i % 8 == 5:
         from .jpeg import encode_jpeg
         return ("m%04d" % i, "image/jpeg",
                 encode_jpeg(img, sampling="420", restart_interval=2), w, h)
-    if i % 7 == 6:
+    if i % 8 == 6:
         return ("m%04d" % i, "image/png",
                 encode_png(img, interlaced=True), w, h)
+    if i % 8 == 7:
+        from .webp import encode_webp_lossless
+        return ("m%04d" % i, "image/webp",
+                encode_webp_lossless(img, predictor_mode=7), w, h)
     return ("m%04d" % i, "image/x-portable-pixmap", encode_ppm(img), w, h)
 
 

@@ -1,0 +1,278 @@
+"""WebP lossless (VP8L) codec tests — round trips through the encoder's
+spec-valid subset, plus HAND-BUILT streams for the decoder paths the
+encoder never emits (color cache, meta-Huffman groups, cross-color
+transform, the max_symbol shortcut and 16/17/18 code-length repeats),
+mirroring the FLAC suite's hand-built-frame strategy. Fast, no Spark."""
+
+import numpy as np
+import pytest
+
+import rdf_rdfxml_spark.operators.webp as W
+from rdf_rdfxml_spark.operators.multimodal import (
+    DecodeError, decode_image,
+)
+
+
+def _vp8l_stream(bits_builder, w, h):
+    """Wrap a bit-writing callback into a full RIFF/WEBP payload."""
+    bw = W._LBitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bits_builder(bw)
+    vp8l = bytes([0x2F]) + bw.finish()
+    chunk = b"VP8L" + len(vp8l).to_bytes(4, "little") + vp8l
+    if len(vp8l) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+def _write_single(bw, sym, alphabet):
+    lengths = [0] * alphabet
+    lengths[sym] = 1
+    W._write_huffman_code(bw, lengths)
+
+
+def test_webp_roundtrip_matrix():
+    """Every encoder configuration round-trips exactly: plain,
+    subtract-green, all 14 predictor modes, LZ77 runs on/off, palettes
+    packed and unpacked, degenerate shapes."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    cfgs = [dict(), dict(subtract_green=False), dict(use_lz77=False)]
+    cfgs += [dict(predictor_mode=m) for m in range(14)]
+    for kw in cfgs:
+        p = W.encode_webp_lossless(img, **kw)
+        assert (W.decode_webp(p) == img).all(), kw
+        assert (decode_image(p) == img).all(), kw      # dispatch
+    runs = np.zeros((20, 30, 3), dtype=np.uint8)
+    runs[5:15, 5:25] = [10, 200, 30]
+    assert (W.decode_webp(W.encode_webp_lossless(runs)) == runs).all()
+    pal3 = (np.arange(9 * 31).reshape(9, 31) % 3
+            ).astype(np.uint8)[..., None].repeat(3, 2) * 40
+    assert (W.decode_webp(
+        W.encode_webp_lossless(pal3, palette=True)) == pal3).all()
+    pal36 = rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8)
+    assert (W.decode_webp(
+        W.encode_webp_lossless(pal36, palette=True)) == pal36).all()
+    for shape in ((1, 1, 3), (1, 64, 3), (64, 1, 3)):
+        t = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert (W.decode_webp(W.encode_webp_lossless(t)) == t).all()
+
+
+def test_webp_color_cache_stream():
+    """Hand-built stream with a 4-entry color cache: two literals, then
+    both re-emitted as cache symbols — the decoder must return them
+    from the cache, not the trees."""
+    pa = 0xFF102030
+    pb = 0xFF405060
+    cache_bits = 2
+    ia = (0x1E35A7BD * pa & 0xFFFFFFFF) >> (32 - cache_bits)
+    ib = (0x1E35A7BD * pb & 0xFFFFFFFF) >> (32 - cache_bits)
+    assert ia != ib  # distinct slots, so both stay cached
+
+    def build(bw):
+        bw.write(0, 1)                       # no transforms
+        bw.write(1, 1)                       # cache present
+        bw.write(cache_bits, 4)
+        bw.write(0, 1)                       # no meta
+        galpha = 256 + 24 + (1 << cache_bits)
+        gsyms = [(pa >> 8) & 0xFF, (pb >> 8) & 0xFF,
+                 256 + 24 + ia, 256 + 24 + ib]
+        glen = [0] * galpha
+        for s in gsyms:
+            glen[s] = 2
+        W._write_huffman_code(bw, glen)
+        gcodes = W._canonical_codes(glen)
+        rlen = [0] * 256
+        rlen[(pa >> 16) & 0xFF] = rlen[(pb >> 16) & 0xFF] = 1
+        W._write_huffman_code(bw, rlen)
+        rcodes = W._canonical_codes(rlen)
+        blen = [0] * 256
+        blen[pa & 0xFF] = blen[pb & 0xFF] = 1
+        W._write_huffman_code(bw, blen)
+        bcodes = W._canonical_codes(blen)
+        _write_single(bw, 0xFF, 256)         # alpha constant
+        _write_single(bw, 0, 40)             # distance unused
+        for px in (pa, pb):
+            c, n = gcodes[(px >> 8) & 0xFF]
+            bw.write(c, n)
+            c, n = rcodes[(px >> 16) & 0xFF]
+            bw.write(c, n)
+            c, n = bcodes[px & 0xFF]
+            bw.write(c, n)
+        for idx in (ia, ib):                 # cache hits
+            c, n = gcodes[256 + 24 + idx]
+            bw.write(c, n)
+
+    rgb = W.decode_webp(_vp8l_stream(build, 4, 1))
+    expect = np.array([[(0x10, 0x20, 0x30), (0x40, 0x50, 0x60),
+                        (0x10, 0x20, 0x30), (0x40, 0x50, 0x60)]],
+                      dtype=np.uint8)
+    assert (rgb == expect).all()
+
+
+def test_webp_meta_huffman_groups():
+    """Hand-built stream with two meta-Huffman groups (block size 4 on
+    an 8x1 image): each group's trees are 1-symbol, so the pixel value
+    proves which group decoded it."""
+    def build(bw):
+        bw.write(0, 1)                       # no transforms
+        bw.write(0, 1)                       # no cache
+        bw.write(1, 1)                       # meta present
+        bw.write(0, 3)                       # meta_bits = 2 → blocks of 4
+        # meta image 2x1: green channel = group id (r=0)
+        bw.write(0, 1)                       # (meta img) no cache
+        glen = [0] * (256 + 24)
+        glen[0] = glen[1] = 1
+        W._write_huffman_code(bw, glen)
+        gcodes = W._canonical_codes(glen)
+        _write_single(bw, 0, 256)            # red
+        _write_single(bw, 0, 256)            # blue
+        _write_single(bw, 0xFF, 256)         # alpha
+        _write_single(bw, 0, 40)             # distance
+        for gid in (0, 1):
+            c, n = gcodes[gid]
+            bw.write(c, n)
+        # two groups, all trees single-symbol (zero bits per pixel)
+        for green_val in (0x20, 0x80):
+            _write_single(bw, green_val, 256 + 24)
+            _write_single(bw, 0x11, 256)     # red
+            _write_single(bw, 0x22, 256)     # blue
+            _write_single(bw, 0xFF, 256)     # alpha
+            _write_single(bw, 0, 40)
+        # 8 pixels: zero bits each
+
+    rgb = W.decode_webp(_vp8l_stream(build, 8, 1))
+    assert (rgb[0, :4] == (0x11, 0x20, 0x22)).all()
+    assert (rgb[0, 4:] == (0x11, 0x80, 0x22)).all()
+
+
+def test_webp_cross_color_transform():
+    """Hand-built COLOR (cross-color) transform: one block whose
+    element holds green_to_red / green_to_blue / red_to_blue deltas;
+    the decoder must apply the signed (t*c)>>5 adjustments in spec
+    order (blue sees the ALREADY-adjusted red)."""
+    g2r, g2b, r2b = 32, 64, 16              # +1.0, +2.0, +0.5 in Q5
+    g, r, b = 40, 10, 20
+
+    def build(bw):
+        bw.write(1, 1)
+        bw.write(1, 2)                       # COLOR transform
+        bw.write(0, 3)                       # bits = 2
+        # element image 1x1: red=r2b, green=g2b, blue=g2r
+        bw.write(0, 1)                       # no cache
+        _write_single(bw, g2b, 256 + 24)     # green channel
+        _write_single(bw, r2b, 256)          # red channel
+        _write_single(bw, g2r, 256)          # blue channel
+        _write_single(bw, 0xFF, 256)
+        _write_single(bw, 0, 40)
+        bw.write(0, 1)                       # end of transforms
+        bw.write(0, 1)                       # (main) no cache
+        bw.write(0, 1)                       # no meta
+        _write_single(bw, g, 256 + 24)
+        _write_single(bw, r, 256)
+        _write_single(bw, b, 256)
+        _write_single(bw, 0xFF, 256)
+        _write_single(bw, 0, 40)
+
+    rgb = W.decode_webp(_vp8l_stream(build, 1, 1))
+    exp_r = (r + ((g2r * g) >> 5)) & 0xFF
+    exp_b = (b + ((g2b * g) >> 5) + ((r2b * exp_r) >> 5)) & 0xFF
+    assert tuple(rgb[0, 0]) == (exp_r, g, exp_b)
+
+
+def test_webp_code_length_repeats_and_max_symbol():
+    """Hand-built green tree using the 16 (repeat previous), 17/18
+    (zero runs) code-length symbols AND the max_symbol shortcut — the
+    tree-coding machinery the balanced encoder never exercises."""
+    def build(bw):
+        bw.write(0, 1)                       # no transforms
+        bw.write(0, 1)                       # no cache
+        bw.write(0, 1)                       # no meta
+        # green tree: symbols 0..7 length 3 via one '3' + repeat 16s,
+        # then zeros to the end via 18s, written with max_symbol.
+        bw.write(0, 1)                       # not simple
+        bw.write(15, 4)                      # 19 code-length codes
+        cl_lengths = [0] * 19
+        cl_lengths[3] = 1                    # '3' appears often
+        cl_lengths[16] = 2                   # repeat
+        cl_lengths[18] = 2                   # big zero run (unused here)
+        for slot in W._CODE_LENGTH_ORDER:
+            bw.write(cl_lengths[slot], 3)
+        cl = W._canonical_codes(cl_lengths)
+        bw.write(1, 1)                       # use max_symbol
+        bw.write(1, 3)                       # length_nbits = 4
+        bw.write(8, 4)                       # max_symbol = 10 entries
+        c, n = cl[3]                         # sym0 := len 3
+        bw.write(c, n)
+        for _ in range(2):                   # two 16-repeats: 3+ReadBits(2)
+            c, n = cl[16]
+            bw.write(c, n)
+            bw.write(0, 2)                   # +3 → covers syms 1..6
+        c, n = cl[3]                         # sym7 := len 3
+        bw.write(c, n)
+        # 8 symbols of length 3: complete code; remaining entries 0 via
+        # the max_symbol cutoff (10 reads total: 1 + 2 + 1 = 4 used...)
+        # pad reads to hit the cutoff exactly with 18-runs
+        # (not needed: loop also stops when max_symbol hits 0, and we
+        # consumed 4 of 10 — emit one 18-run to land sym at 280)
+        c, n = cl[18]
+        bw.write(c, n)
+        bw.write(127, 7)                     # 11+127 zeros
+        c, n = cl[18]
+        bw.write(c, n)
+        bw.write(123, 7)                     # 11+123 zeros → 280 total
+        gcodes = W._canonical_codes(
+            [3] * 8 + [0] * (256 + 24 - 8))
+        _write_single(bw, 9, 256)            # red
+        _write_single(bw, 8, 256)            # blue
+        _write_single(bw, 0xFF, 256)         # alpha
+        _write_single(bw, 0, 40)
+        for gsym in (5, 2, 7, 0):
+            c, n = gcodes[gsym]
+            bw.write(c, n)
+
+    rgb = W.decode_webp(_vp8l_stream(build, 4, 1))
+    assert [int(px[1]) for px in rgb[0]] == [5, 2, 7, 0]
+    assert (rgb[..., 0] == 9).all() and (rgb[..., 2] == 8).all()
+
+
+def test_webp_typed_errors_and_fuzz():
+    """Typed-error contract: malformed RIFF/VP8L payloads and random
+    bit flips never raise anything but DecodeError; VP8 (lossy) is the
+    declared seam."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(9, 9, 3), dtype=np.uint8)
+    good = W.encode_webp_lossless(img)
+    for garbage in (
+            b"RIFF",
+            b"RIFF\x08\x00\x00\x00WEBP",
+            b"RIFF\x14\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd",
+            b"RIFF\x14\x00\x00\x00WEBPVP8L\x02\x00\x00\x00\x00\x00",
+            good[:30]):
+        with pytest.raises(DecodeError):
+            W.decode_webp(garbage)
+    flips = 0
+    for _ in range(120):
+        bad = bytearray(good)
+        i = int(rng.integers(20, len(bad)))
+        bad[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            W.decode_webp(bytes(bad))
+        except DecodeError:
+            flips += 1
+        # any non-DecodeError exception fails the test by propagating
+    assert flips > 0
+
+
+def test_webp_compresses_structured_input():
+    """The palette+LZ77 paths actually compress: a 2-color 64x64 image
+    must come out far below raw 3 bytes/px (codec, not container)."""
+    img = np.zeros((64, 64, 3), dtype=np.uint8)
+    img[::2] = 255
+    p = W.encode_webp_lossless(img, palette=True)
+    assert len(p) < 64 * 64 * 3 * 0.05
+    assert (W.decode_webp(p) == img).all()
