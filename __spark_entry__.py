@@ -614,14 +614,24 @@ def q_ann_lsh_bucketed(spark, sf_dir):
 
 
 def q_dedup_embedding_bucketed(spark, sf_dir):
-    # The scale path for embedding dedup: IVF cells (8 data-derived
-    # centroids, 4-probe), exact cosine only within shared cells. Pair set
-    # == brute-force q_dedup_embedding_cosine on this corpus (recall 1.0,
-    # tests/test_ann.py); at 10⁹ vectors this is Σ|cell|² instead of n².
+    # The scale path for embedding dedup: IVF cells, 4-probe, exact
+    # cosine only within shared cells — at 10⁹ vectors Σ|cell|² instead
+    # of n². Round 5: n_cells follows k ∝ N (max(8, N/25) — constant
+    # expected cell size, the CLAUDE.md dedup regime measured linear in
+    # BASELINE.md round-3); the previous fixed 8 cells at sf0.1's 2,000
+    # vectors meant 4 probed of 8 → 1.97M candidate pairs, effectively
+    # all-pairs. The oracle computes the same formula in SQL
+    # (GREATEST(8, COUNT(*) // 25)), so the gate corpora (500 vectors →
+    # 20 cells) hash-match through the scaled config; the recall trade
+    # at the 0.4 demo threshold is measured and stated in PERF.md §21
+    # (production-threshold recall 1.0 lives in the trained/twolevel
+    # queries, re-proven at 10x/30x this round).
     from rdf_rdfxml_spark.operators.ann import (
         dedup_embedding_bucketed, load_embeddings,
     )
-    return dedup_embedding_bucketed(load_embeddings(spark, sf_dir))
+    n_vec = _embeddings(spark, sf_dir).count()  # parquet metadata count
+    return dedup_embedding_bucketed(load_embeddings(spark, sf_dir),
+                                    n_cells=max(8, n_vec // 25))
 
 
 def q_dedup_embedding_trained(spark, sf_dir):
@@ -1598,7 +1608,8 @@ def _all_oracle_sql() -> dict[str, str]:
 
         "ann_ivf_trained": _ANN.kmeans_oracle_sql(),
 
-        "dedup_embedding_bucketed": _ANN.dedup_bucketed_oracle_sql(),
+        "dedup_embedding_bucketed": _ANN.dedup_bucketed_oracle_sql(
+            n_cells="scaled"),
 
         "dedup_embedding_trained": _ANN.dedup_trained_oracle_sql(
             threshold=0.7, table=_ANN.neardup_twins_table_sql()),

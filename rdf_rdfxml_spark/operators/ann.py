@@ -359,14 +359,21 @@ _DUCK_COS = ("list_dot_product({a}, {b}) / "
              "sqrt(list_dot_product({b}, {b})))")
 
 
-def dedup_bucketed_oracle_sql(*, threshold: float = 0.4, n_cells: int = 8,
+def dedup_bucketed_oracle_sql(*, threshold: float = 0.4,
+                              n_cells: int | str = 8,
                               nprobe: int = 4,
                               table: str = "embeddings") -> str:
+    """``n_cells``: an int, or the string ``"scaled"`` for the k ∝ N
+    regime — ``GREATEST(8, N // 25)`` computed in SQL, mirroring the
+    Spark query's ``max(8, count // 25)`` so the oracle follows the
+    corpus size exactly as the engine does."""
+    cells = ("GREATEST(8, (SELECT COUNT(*) FROM e) // 25)"
+             if n_cells == "scaled" else n_cells)
     cos_vc = _DUCK_COS.format(a="e.v", b="cent.cv")
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
     cent AS (SELECT vec_id AS cell_id, v AS cv FROM e
-             ORDER BY vec_id LIMIT {n_cells}),
+             ORDER BY vec_id LIMIT {cells}),
     scored AS (
       SELECT e.vec_id, cent.cell_id,
              ROW_NUMBER() OVER (PARTITION BY e.vec_id
