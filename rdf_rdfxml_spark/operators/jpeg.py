@@ -11,6 +11,15 @@ hierarchical modes. Anything outside the envelope raises ``DecodeError``
 loudly (round-3 verdict next-round #8 closed the progressive +
 subsampling gap — real corpora are mostly progressive).
 
+Why arithmetic coding stays declared rather than implemented: the QM
+coder is driven by T.81 Annex D's Qe probability-state transition table
+— arbitrary published CONSTANTS that cannot be derived from first
+principles and cannot be byte-verified in this offline sandbox (same
+evidence class as the W3C suite bytes). A from-memory reconstruction
+would silently mis-decode; a loud typed error is strictly better. The
+structural seams that COULD be closed offline were (progressive, DRI,
+subsampling here; Ogg-FLAC and VP8L WebP in their modules).
+
 Design notes:
 
 * The 2-D DCT/IDCT are exact orthonormal matrix products (``C @ B @ C.T``)
