@@ -400,6 +400,23 @@ def q_kg_two_hop(spark, sf_dir):
     return hop1.join(hop2, "mid").select("doc", "origin")
 
 
+def q_kg_two_hop_salted(spark, sf_dir):
+    # The hot-hub-safe variant of kg_two_hop: the same o=s self-join
+    # routed through graph.salted_join (hub rows replicated/salted, the
+    # rest untouched) — value-identical to the plain join for ANY hot
+    # set, so it shares kg_two_hop's oracle. On the uniform gate corpus
+    # freqItems detects no hub and the plan degenerates to salt-0
+    # everywhere; the skewed-regime evidence is PERF.md §20
+    # (straggler 77x → 1.4 on a 90%-hub graph).
+    from rdf_rdfxml_spark.operators.graph import salted_join
+    t = triples_channel(_parse(spark, sf_dir, D.xml_nested_expr()))
+    hop1 = (t.filter(f"p = '{VOC}meta'")
+            .selectExpr("s AS doc", "o AS mid"))
+    hop2 = (t.filter(f"p = '{VOC}origin'")
+            .selectExpr("s AS mid", "o AS origin"))
+    return salted_join(hop1, hop2, "mid").select("doc", "origin")
+
+
 def q_kg_pagerank(spark, sf_dir):
     # Fixed-iteration PageRank (5 rounds, d=0.85, per-round 1e-9
     # rounding as the cross-engine float contract; dangling mass not
@@ -1223,6 +1240,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfxml_write": q_rdfxml_write,  # bench surface; rows-only check
         # near-constant rollup twin — strong queries took its gate slot
         "kg_degree_stats": q_kg_degree_stats,
+        # value-identical salted self-join (round 5; shares the
+        # kg_two_hop oracle — salting never changes the result)
+        "kg_two_hop_salted": q_kg_two_hop_salted,
     }
 
 
@@ -1700,4 +1720,5 @@ def _all_oracle_sql() -> dict[str, str]:
         _roundtrip_rt_cte() + "\n    SELECT * FROM rt")
     # the salted join must be value-identical to the broadcast path
     oracles["entity_linking_salted"] = oracles["entity_linking"]
+    oracles["kg_two_hop_salted"] = oracles["kg_two_hop"]
     return oracles
