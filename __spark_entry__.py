@@ -56,6 +56,17 @@ def _scratch(name: str) -> str:
     return base
 
 
+def _sized_spread(spark: SparkSession, n_rows: int,
+                  rows_per_task: int = 300) -> int:
+    """Partition count for a compute-bound Python stage: target
+    ``rows_per_task`` per task (each Python-stage task carries ~10 ms
+    fixed overhead — PERF.md §19: 64 tasks measured 2x slower than 16
+    on identical 5k-doc work), capped at 2x cores. At corpus scale the
+    cap always wins — this floor only matters at bench scale."""
+    return max(1, min(2 * spark.sparkContext.defaultParallelism,
+                      -(-n_rows // rows_per_task)))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -542,7 +553,7 @@ def q_dedup_verified_pairs(spark, sf_dir):
         minhash_candidates, verify_candidates,
     )
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    docs = docs.repartition(_sized_spread(spark, docs.count()))
     return verify_candidates(docs, minhash_candidates(docs))
 
 
@@ -553,10 +564,11 @@ def q_minhash_lsh(spark, sf_dir):
     # 64 hashes / 8 bands of 8 ⇒ LSH threshold ≈ (1/8)^(1/8) ≈ 0.77.
     # The small-file bench corpus arrives as one scan partition; the
     # signature stage is CPU-bound, so spread it across the cluster first
-    # (cheap: ~300-byte rows). At 100 TB the scan is already partitioned.
+    # (cheap: ~300-byte rows; task count via the _sized_spread floor).
+    # At 100 TB the scan is already partitioned.
     from rdf_rdfxml_spark.operators.sketch import minhash_candidates
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    docs = docs.repartition(_sized_spread(spark, docs.count()))
     return minhash_candidates(docs)
 
 
@@ -1123,15 +1135,10 @@ def q_rdfxml_write(spark, sf_dir):
     # parse on a single core), then parse → render fused with ZERO
     # shuffles — extraction emits each document's triples contiguously
     # and select/filter are narrow, so write_rdfxml(grouped=True) skips
-    # the group exchange + sort entirely (PERF.md §19). Task sizing:
-    # each Python stage task carries ~10 ms fixed overhead, so tasks
-    # target ≥~300 docs each, capped at 2× cores — at corpus scale the
-    # cap always wins (the scale config); at bench scale the floor stops
-    # per-task overhead from dominating (measured: 64 tasks 1.78 s vs
-    # 16 tasks 0.89 s on the same 5k docs).
-    n_docs = _docs(spark, sf_dir).count()  # parquet metadata count
-    spread = max(1, min(2 * spark.sparkContext.defaultParallelism,
-                        -(-n_docs // 300)))
+    # the group exchange + sort entirely (PERF.md §19). Task count via
+    # the _sized_spread floor (measured: 64 tasks 1.78 s vs 16 tasks
+    # 0.89 s on the same 5k docs).
+    spread = _sized_spread(spark, _docs(spark, sf_dir).count())
     docs = _docs(spark, sf_dir).selectExpr(
         f"({D.xml_basic_expr()}) AS content",
         "'http://example.org/' AS base_uri").repartition(spread)
