@@ -75,6 +75,30 @@ def main():
     print("=" * 72)
     dedup_embedding_bucketed(load_embeddings(spark, sf_dir)) \
         .explain("formatted")
+
+    from rdf_rdfxml_spark.operators.graph import salted_join
+    from rdf_rdfxml_spark.writer.serialize import write_rdfxml
+
+    print("=" * 72)
+    print("7. grouped writer fast path (round 5) — NO Exchange anywhere: "
+          "scan → parse mapInArrow → render mapInArrow, one fused stage "
+          "(vs the repartition+sort the generic path needs)")
+    print("=" * 72)
+    t5 = triples_channel(extract(docs.selectExpr(
+        "text AS content"))).select(
+        "doc_sha", "s", "s_kind", "p", "o", "o_kind", "o_lang", "o_dt")
+    write_rdfxml(t5, grouped=True).explain("formatted")
+
+    print("=" * 72)
+    print("8. salted self-join (round 5) — build side exploded only for "
+          "hot keys (CASE-guarded array), probe salt from xxhash64 of "
+          "the whole row; join keys (mid, _salt)")
+    print("=" * 72)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    hop1 = triples.selectExpr("s AS doc", "o AS mid")
+    hop2 = triples.selectExpr("s AS mid", "o AS origin")
+    salted_join(hop1, hop2, "mid", hot_keys=["hub"]).explain("formatted")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     spark.stop()
 
 
