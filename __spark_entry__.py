@@ -677,8 +677,12 @@ def q_dedup_embedding_trained(spark, sf_dir):
         dedup_embedding_bucketed, kmeans_cells, load_embeddings,
         with_neardup_twins,
     )
+    # k ∝ N cell sizing (round 5, same regime as the bucketed query and
+    # scale_proof's recall legs): max(8, N/25) on the TWINNED corpus,
+    # mirrored in the oracle's GREATEST(8, COUNT(*)//25).
     emb = with_neardup_twins(load_embeddings(spark, sf_dir))
-    _, centroids = kmeans_cells(emb, k=8, iters=2)
+    _, centroids = kmeans_cells(emb, k=max(8, emb.count() // 25),
+                                iters=2)
     return dedup_embedding_bucketed(emb, centroids=centroids,
                                     threshold=0.7)
 
@@ -697,8 +701,12 @@ def q_dedup_embedding_twolevel(spark, sf_dir):
         dedup_embedding_twolevel, kmeans_cells, load_embeddings,
         train_coarse_quantizer, with_neardup_twins,
     )
+    # k ∝ N cell sizing (round 5), k' = floor(sqrt(len(centroids)))
+    # inside train_coarse_quantizer — the oracle computes both from its
+    # own table/fine counts.
     emb = with_neardup_twins(load_embeddings(spark, sf_dir))
-    _, centroids = kmeans_cells(emb, k=16, iters=2)
+    _, centroids = kmeans_cells(emb, k=max(8, emb.count() // 25),
+                                iters=2)
     coarse = train_coarse_quantizer(centroids)
     return dedup_embedding_twolevel(emb, centroids, threshold=0.7,
                                     coarse_centroids=coarse)
@@ -1639,10 +1647,11 @@ def _all_oracle_sql() -> dict[str, str]:
             n_cells="scaled"),
 
         "dedup_embedding_trained": _ANN.dedup_trained_oracle_sql(
-            threshold=0.7, table=_ANN.neardup_twins_table_sql()),
+            threshold=0.7, k="scaled",
+            table=_ANN.neardup_twins_table_sql()),
 
         "dedup_embedding_twolevel": _ANN.dedup_twolevel_oracle_sql(
-            threshold=0.7, k=16, trained_coarse=True,
+            threshold=0.7, k="scaled", trained_coarse=True,
             table=_ANN.neardup_twins_table_sql()),
 
         "stream_neardup": _SK.stream_neardup_oracle_sql(),

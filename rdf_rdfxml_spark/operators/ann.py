@@ -533,11 +533,16 @@ _KM_COS = ("list_dot_product(e.v, c.cv) / "
            "sqrt(list_dot_product(c.cv, c.cv)))")
 
 
-def _kmeans_cte_parts(*, k: int, iters: int, round_dec: int,
+def _kmeans_cte_parts(*, k, iters: int, round_dec: int,
                       table: str) -> list[str]:
     """The Lloyd iterations unrolled as CTE pairs (assign_i → cent_i);
     shared by the k-means stats oracle and the trained-IVF dedup oracle.
-    The final centroid table is ``cent{iters}``."""
+    The final centroid table is ``cent{iters}``. ``k`` may be an int or
+    the string ``"scaled"`` (→ ``GREATEST(8, N // 25)`` in SQL — the
+    k ∝ N dedup regime, matching a Spark caller that derives
+    ``max(8, count // 25)``)."""
+    if k == "scaled":
+        k = "GREATEST(8, (SELECT COUNT(*) FROM e) // 25)"
     cos = _KM_COS
     parts = [f"""
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
@@ -620,7 +625,8 @@ def dedup_trained_oracle_sql(*, threshold: float = 0.4, k: int = 8,
     WHERE sim >= {threshold}""")
 
 
-def dedup_twolevel_oracle_sql(*, threshold: float = 0.7, k: int = 16,
+def dedup_twolevel_oracle_sql(*, threshold: float = 0.7,
+                              k: int | str = 16,
                               iters: int = 2, nprobe: int = 4,
                               coarse_probes: int = 2,
                               round_dec: int = 6,
@@ -634,9 +640,14 @@ def dedup_twolevel_oracle_sql(*, threshold: float = 0.7, k: int = 16,
     rounded-cosine fine→coarse routing, coarse probing, fine assignment
     restricted to probed coarse cells, and the distinct-pairs/unit-dot
     pipeline — every ranking uses the same ROUND(cos, 6) + id tie-break
-    contract as the Spark path."""
-    step = max(1, int(k ** 0.5))
-    kc = max(1, int(k ** 0.5))
+    contract as the Spark path. ``k`` may be ``"scaled"`` (k ∝ N, see
+    :func:`_kmeans_cte_parts`). The coarse size k' and the strided step
+    are computed in SQL from the ACTUAL fine-table row count — the
+    exact mirror of the Spark side's ``len(centroids)`` (which can be
+    below the requested k when an iteration empties a cell)."""
+    step = ("GREATEST(1, CAST(FLOOR(SQRT("
+            "(SELECT COUNT(*) FROM fine))) AS INTEGER))")
+    kc = step
     cos_vc = ("ROUND(list_dot_product(e.v, f.cv) / "
               "(sqrt(list_dot_product(e.v, e.v)) * "
               "sqrt(list_dot_product(f.cv, f.cv))), 6)")
