@@ -1172,3 +1172,25 @@ def test_flac_24bit_stereo():
                                              lpc_order=4))
     assert rate == 44100 and bps == 24
     assert (dec == s).all()
+
+
+def test_ogg_flac_roundtrip_property():
+    """Property sweep: Ogg-FLAC round-trips losslessly across random
+    lengths, channel counts, block sizes and page-segment caps
+    (including caps that force cross-page packet continuation)."""
+    import numpy as np
+
+    from rdf_rdfxml_spark.operators.flac import (
+        decode_ogg_flac, encode_ogg_flac,
+    )
+    rng = np.random.default_rng(61)
+    for _ in range(12):
+        n = int(rng.integers(1, 4000))
+        ch = int(rng.integers(1, 3))
+        bs = int(rng.choice([64, 256, 1024]))
+        cap = int(rng.choice([2, 7, 255]))
+        s = rng.integers(-3000, 3000, size=(n, ch)).astype(np.int32)
+        p = encode_ogg_flac(s, 8000, blocksize=bs, max_segs_per_page=cap,
+                            fixed_order=int(rng.integers(0, 3)))
+        dec, rate, bps = decode_ogg_flac(p)
+        assert rate == 8000 and (dec == s).all(), (n, ch, bs, cap)

@@ -276,3 +276,34 @@ def test_webp_compresses_structured_input():
     p = W.encode_webp_lossless(img, palette=True)
     assert len(p) < 64 * 64 * 3 * 0.05
     assert (W.decode_webp(p) == img).all()
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 24), st.integers(1, 24),
+       st.sampled_from([None, 0, 1, 2, 7, 11, 12, 13]),
+       st.booleans(), st.booleans())
+def test_webp_roundtrip_property(seed, w, h, pred, sub_green, lz77):
+    """Property: ANY image round-trips exactly through ANY encoder
+    configuration (predictor mode × subtract-green × LZ77)."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    p = W.encode_webp_lossless(img, subtract_green=sub_green,
+                               predictor_mode=pred, use_lz77=lz77)
+    assert (W.decode_webp(p) == img).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 30), st.integers(1, 30),
+       st.integers(2, 17))
+def test_webp_palette_roundtrip_property(seed, w, h, n_colors):
+    """Property: palettized images of any color count (2..17 spans all
+    three packing widths plus the unpacked case) round-trip exactly."""
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    idx = rng.integers(0, n_colors, size=(h, w))
+    img = pal[idx]
+    p = W.encode_webp_lossless(img, palette=True)
+    assert (W.decode_webp(p) == img).all()
