@@ -17,8 +17,10 @@ half-implementing it.
 One offline caveat, stated rather than hidden: the 2-D near-distance
 table (LZ77 distance codes 1..120) is reconstructed from its definition
 (the 120 (dx, dy) neighbors with |dx| <= 8, 0 <= dy <= 7 ordered by
-ascending dx² + dy², ties x-major), which could not be byte-compared to
-the published spec table in this sandbox. The encoder here emits only
+ascending dx² + dy², ties by ascending |dx| with positive dx first —
+the ordering every recalled span of the spec table follows, pinned by
+tests/test_webp.py's structural test), but it could not be
+byte-compared to the published table in this sandbox. The encoder here emits only
 direct distances (codes > 120), so every round trip in the suite is
 exact regardless; a mismatch would only surface on external files using
 near codes, and the table is a 120-line drop-in to fix.
@@ -49,15 +51,18 @@ _CODE_LENGTH_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11,
 def _near_distance_table():
     """Reconstructed 2-D near-distance neighborhood (see module
     docstring caveat): 120 (dx, dy) offsets, dy 0..7, |dx| <= 8,
-    (dy > 0 or dx > 0), ordered by ascending dx² + dy²."""
+    (dy > 0 or dx > 0), ordered by ascending dx² + dy², ties by
+    ascending |dx| with positive dx before negative — the ordering the
+    spec table's visible structure follows ({1,1} before {-1,1};
+    {0,5},{3,4},{-3,4},{4,3},{-4,3},{5,0} within d²=25)."""
     cand = []
     for dy in range(8):
         for dx in range(-8, 9):
             if dy == 0 and dx <= 0:
                 continue
-            cand.append((dx * dx + dy * dy, max(dx, -dx), dx, dy))
+            cand.append((dx * dx + dy * dy, max(dx, -dx), dx < 0, dx, dy))
     cand.sort()
-    return [(dx, dy) for _, _, dx, dy in cand[:120]]
+    return [(dx, dy) for _, _, _, dx, dy in cand[:120]]
 
 
 _NEAR_DIST = _near_distance_table()

@@ -307,3 +307,72 @@ def test_webp_palette_roundtrip_property(seed, w, h, n_colors):
     img = pal[idx]
     p = W.encode_webp_lossless(img, palette=True)
     assert (W.decode_webp(p) == img).all()
+
+
+def test_webp_near_distance_2d_copy():
+    """Hand-built stream using a NEAR distance code (code 1 = offset
+    (0, 1) in the reconstructed table → distance = image width): one
+    literal row, then an LZ77 copy of length w with that code must
+    duplicate the row above — the 2-D distance-mapping path the
+    direct-distance encoder never emits."""
+    pxs = [0xFF102030, 0xFF405060, 0xFF708090]
+    w = len(pxs)
+
+    def build(bw):
+        bw.write(0, 1)                       # no transforms
+        bw.write(0, 1)                       # no cache
+        bw.write(0, 1)                       # no meta
+        galpha = 256 + 24
+        gsyms = sorted({(p >> 8) & 0xFF for p in pxs} | {256 + 2})
+        glen = [0] * galpha
+        for s in gsyms:
+            glen[s] = 2
+        W._write_huffman_code(bw, glen)
+        gcodes = W._canonical_codes(glen)
+
+        def chan_tree(vals):
+            lens = [0] * 256
+            for v in vals:
+                lens[v] = 2
+            # pad to a complete 4-leaf code with unused symbols
+            pad = [s for s in range(256) if lens[s] == 0][:4 - len(vals)]
+            for s in pad:
+                lens[s] = 2
+            W._write_huffman_code(bw, lens)
+            return W._canonical_codes(lens)
+
+        rcodes = chan_tree(sorted({(p >> 16) & 0xFF for p in pxs}))
+        bcodes = chan_tree(sorted({p & 0xFF for p in pxs}))
+        _write_single(bw, 0xFF, 256)         # alpha
+        _write_single(bw, 0, 40)             # distance: code 0 → 1 → (0,1)
+        for px in pxs:                       # row 0: literals
+            c, n = gcodes[(px >> 8) & 0xFF]
+            bw.write(c, n)
+            c, n = rcodes[(px >> 16) & 0xFF]
+            bw.write(c, n)
+            c, n = bcodes[px & 0xFF]
+            bw.write(c, n)
+        # row 1: copy length 3 (green sym 256+2), dist via single tree
+        c, n = gcodes[256 + 2]
+        bw.write(c, n)
+
+    rgb = W.decode_webp(_vp8l_stream(build, w, 2))
+    assert (rgb[1] == rgb[0]).all()
+    assert tuple(rgb[0, 0]) == (0x10, 0x20, 0x30)
+    assert tuple(rgb[0, 2]) == (0x70, 0x80, 0x90)
+
+
+def test_webp_near_distance_table_structure():
+    """Structural invariants of the reconstructed near-distance table:
+    120 unique in-range offsets, non-decreasing squared distance, the
+    spec's visible tie pattern (positive dx immediately before its
+    negative twin), and the known leading entries."""
+    t = W._NEAR_DIST
+    assert len(t) == 120 and len(set(t)) == 120
+    assert all(-8 <= dx <= 8 and 0 <= dy <= 7 for dx, dy in t)
+    d2 = [dx * dx + dy * dy for dx, dy in t]
+    assert d2 == sorted(d2)
+    for i, (dx, dy) in enumerate(t):
+        if dx > 0 and (-dx, dy) in t:
+            assert t.index((-dx, dy)) == i + 1, (dx, dy)
+    assert t[:6] == [(0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0)]
