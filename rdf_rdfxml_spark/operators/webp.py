@@ -26,8 +26,9 @@ exact regardless; a mismatch would only surface on external files using
 near codes, and the table is a 120-line drop-in to fix.
 
 The encoder emits a spec-valid subset used by the tests and synth
-corpus: optional SUBTRACT_GREEN + whole-image PREDICTOR transforms,
-optional COLOR_INDEXING palette (with pixel packing), fixed complete
+corpus: all four transforms are emittable (SUBTRACT_GREEN, whole-image
+PREDICTOR and cross-color COLOR, COLOR_INDEXING palette with pixel
+packing), fixed complete
 Huffman code sets written through the code-length code, run-length LZ77
 (distance 1) so the copy path round-trips, and 1-symbol simple trees
 where a channel is constant. ``decode(encode(img)) == img`` exactly.
@@ -728,12 +729,16 @@ def _write_entropy_image(bw: _LBitWriter, argb: np.ndarray,
 
 def encode_webp_lossless(img: np.ndarray, *, subtract_green: bool = True,
                          predictor_mode: int | None = None,
+                         color_transform: tuple | None = None,
                          palette: bool = False,
                          use_lz77: bool = True) -> bytes:
     """HxWx3 uint8 → RIFF/WEBP with a lossless VP8L chunk.
     ``predictor_mode``: apply the PREDICTOR transform with that single
-    mode image-wide (exercises the corresponding inverse). ``palette``:
-    COLOR_INDEXING with pixel packing when <= 16 colors. Exact:
+    mode image-wide (exercises the corresponding inverse).
+    ``color_transform``: ``(g2r, g2b, r2b)`` int8-semantics deltas for a
+    whole-image cross-color transform — with it, every one of the four
+    VP8L transforms is encoder-emittable. ``palette``: COLOR_INDEXING
+    with pixel packing when <= 16 colors. Exact:
     ``decode_webp(encode_webp_lossless(img)) == img``."""
     if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
         raise ValueError("encode_webp_lossless wants HxWx3 uint8")
@@ -792,6 +797,34 @@ def encode_webp_lossless(img: np.ndarray, *, subtract_green: bool = True,
             b = argb & 0xFF
             argb = ((a << 24) | (((r - g) & 0xFF) << 16) | (g << 8)
                     | ((b - g) & 0xFF))
+        if color_transform is not None:
+            g2r, g2b, r2b = color_transform
+            bits = 9                         # one element for the image
+            bw.write(1, 1)
+            bw.write(1, 2)                   # COLOR
+            bw.write(bits - 2, 3)
+            mw = (w + (1 << bits) - 1) >> bits
+            mh = (h + (1 << bits) - 1) >> bits
+            elem = np.full(
+                (mh, mw),
+                (np.uint32(255) << 24) | (r2b << 16) | (g2b << 8) | g2r,
+                dtype=np.uint32)
+            _write_entropy_image(bw, elem, use_lz77=False)
+            # forward: subtract the deltas the decoder's inverse adds
+            # (b uses the PRE-transform r, which the inverse has already
+            # reconstructed by the time it adjusts b)
+            out = argb.copy()
+            for y in range(h):
+                for x in range(w):
+                    px = int(out[y, x])
+                    a_ = (px >> 24) & 0xFF
+                    r_ = (px >> 16) & 0xFF
+                    g_ = (px >> 8) & 0xFF
+                    b_ = px & 0xFF
+                    nr = (r_ - _delta(g2r, g_)) & 0xFF
+                    nb = (b_ - _delta(g2b, g_) - _delta(r2b, r_)) & 0xFF
+                    out[y, x] = (a_ << 24) | (nr << 16) | (g_ << 8) | nb
+            argb = out
         if predictor_mode is not None:
             bits = 9                         # 512-px blocks
             bw.write(1, 1)

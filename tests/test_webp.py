@@ -376,3 +376,17 @@ def test_webp_near_distance_table_structure():
         if dx > 0 and (-dx, dy) in t:
             assert t.index((-dx, dy)) == i + 1, (dx, dy)
     assert t[:6] == [(0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0)]
+
+
+def test_webp_encoder_color_transform_roundtrip():
+    """Encoder-emitted cross-color transform (round 5 completes the
+    emit-side transform matrix): forward-subtracted deltas must invert
+    exactly through the decoder, alone and stacked with subtract-green
+    and a predictor."""
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(11, 14, 3), dtype=np.uint8)
+    for kw in (dict(subtract_green=False, color_transform=(32, 64, 16)),
+               dict(color_transform=(255, 1, 200)),    # negative int8s
+               dict(color_transform=(7, 130, 0), predictor_mode=7)):
+        p = W.encode_webp_lossless(img, **kw)
+        assert (W.decode_webp(p) == img).all(), kw
