@@ -9,9 +9,10 @@ shortcut), color cache, meta-Huffman (per-block entropy-group
 selection), LZ77 backward references, and all four transforms
 (PREDICTOR with all 14 modes, cross-color COLOR, SUBTRACT_GREEN,
 COLOR_INDEXING incl. sub-byte pixel packing for small palettes), plus
-the RIFF container walk. Lossy VP8 ("VP8 " chunk) and animation/extended
-("VP8X") stay typed-error seams: inter/intra prediction with a boolean
-arithmetic coder is a different engine, and declaring it beats
+the RIFF container walk — including VP8X extended-container STILLS
+(metadata chunks skipped, the VP8L chunk inside decodes). Lossy VP8 and
+animation (ANMF) stay typed-error seams: inter/intra prediction with a
+boolean arithmetic coder is a different engine, and declaring it beats
 half-implementing it.
 
 One offline caveat, stated rather than hidden: the 2-D near-distance
@@ -583,9 +584,15 @@ def decode_webp(payload: bytes) -> np.ndarray:
             rgb[..., 1] = (argb >> 8) & 0xFF
             rgb[..., 2] = argb & 0xFF
             return rgb
-        if fourcc in (b"VP8 ", b"VP8X"):
+        if fourcc == b"VP8 ":
             raise DecodeError(
-                "lossy/extended WebP is a declared seam (VP8L only)")
+                "lossy WebP (VP8) is a declared seam (VP8L only)")
+        # VP8X (extended container) and its metadata chunks (ICCP, EXIF,
+        # XMP, ALPH — alpha is dropped by suite convention anyway) are
+        # walked over: a VP8X STILL whose image data is a VP8L chunk
+        # decodes; animations (ANMF) and lossy stills still raise.
+        if fourcc == b"ANMF":
+            raise DecodeError("animated WebP is a declared seam")
         pos += 8 + ln + (ln & 1)
     raise DecodeError("WebP RIFF carries no VP8L chunk")
 

@@ -390,3 +390,27 @@ def test_webp_encoder_color_transform_roundtrip():
                dict(color_transform=(7, 130, 0), predictor_mode=7)):
         p = W.encode_webp_lossless(img, **kw)
         assert (W.decode_webp(p) == img).all(), kw
+
+
+def test_webp_vp8x_extended_still():
+    """A VP8X (extended-container) STILL whose image data is a VP8L
+    chunk decodes — the RIFF walk skips the VP8X header and metadata
+    chunks (EXIF here) instead of rejecting them; lossy VP8 and
+    animation chunks still raise the declared typed error."""
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, size=(7, 9, 3), dtype=np.uint8)
+    plain = W.encode_webp_lossless(img)
+    vp8l_chunk = plain[12:]                  # the VP8L chunk bytes
+    h, w = img.shape[:2]
+    vp8x = (b"VP8X" + (10).to_bytes(4, "little")
+            + bytes([0x08, 0, 0, 0])         # EXIF flag set
+            + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little"))
+    exif = b"EXIF" + (5).to_bytes(4, "little") + b"fake!" + b"\x00"
+    body = b"WEBP" + vp8x + exif + vp8l_chunk
+    payload = b"RIFF" + len(body).to_bytes(4, "little") + body
+    assert (W.decode_webp(payload) == img).all()
+    # animation chunk before any VP8L → declared seam
+    anim = b"ANMF" + (4).to_bytes(4, "little") + b"\x00" * 4
+    body2 = b"WEBP" + vp8x + anim + vp8l_chunk
+    with pytest.raises(DecodeError):
+        W.decode_webp(b"RIFF" + len(body2).to_bytes(4, "little") + body2)
