@@ -46,7 +46,17 @@ def salted_join(probe: DataFrame, build: DataFrame, key: str, *,
     ``freqItems`` pass over the probe side when ``None`` (cache and
     pass explicitly across repeated joins of a static graph).
     Measured on a 90%-hot-hub two-hop at 8M edges: straggler ratio
-    3.5 → ~1.0 (PERF.md §20)."""
+    3.5 → ~1.0 (PERF.md §20).
+
+    ``how`` is restricted to {'inner', 'left', 'left_semi'}: with a
+    replicated build side, right/full outer joins would emit one
+    null-extended (or duplicate) row per UNMATCHED hot-key build
+    replica, so the result would NOT equal the unsalted join."""
+    allowed_how = {"inner", "left", "left_outer", "left_semi", "leftsemi"}
+    if how not in allowed_how:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed_how)}, not {how!r}: "
+            "build-side replication breaks right/full outer semantics")
     if hot_keys is None:
         freq = probe.stat.freqItems([key], support=hot_support).first()
         hot_keys = sorted(set(freq[0]))

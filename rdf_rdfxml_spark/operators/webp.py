@@ -402,14 +402,19 @@ def _pred_value(ch: np.ndarray, y: int, x: int, mode: int,
             - tl.astype(np.int16)
         pl = int(np.abs(p - left.astype(np.int16)).sum())
         pt = int(np.abs(p - top.astype(np.int16)).sum())
-        return left if pl <= pt else top
+        # Spec Select(): `if (pL < pT) return L; else return T` — an
+        # exact Manhattan-distance tie returns TOP, not LEFT.
+        return left if pl < pt else top
     if mode == 12:
         return np.clip(left.astype(np.int16) + top.astype(np.int16)
                        - tl.astype(np.int16), 0, 255).astype(np.uint8)
     if mode == 13:
+        # ClampAddSubtractHalf: C `(a - tl) / 2` truncates toward zero;
+        # Python // floors — they differ by 1 for negative odd deltas.
         a_ = _avg2(left, top).astype(np.int16)
-        return np.clip(a_ + (a_ - tl.astype(np.int16)) // 2, 0,
-                       255).astype(np.uint8)
+        d = a_ - tl.astype(np.int16)
+        half = np.where(d >= 0, d >> 1, -((-d) >> 1)).astype(np.int16)
+        return np.clip(a_ + half, 0, 255).astype(np.uint8)
     raise DecodeError(f"bad VP8L predictor mode {mode}")
 
 
@@ -634,6 +639,19 @@ def _write_huffman_code(bw: _LBitWriter, lengths: list,
         return
     bw.write(0, 1)                           # code-length-coded
     used_cl = sorted({ln for ln in lengths})
+    if len(used_cl) == 1:
+        # Every symbol shares one code length (e.g. a channel using its
+        # full 256-value alphabet: n=256 → L=8, D=0, no promotions).
+        # A 1-symbol code-length code is valid: the decoder's _Huffman
+        # single path reads ZERO bits per length, filling the whole
+        # alphabet with that length.
+        cl_lengths = [0] * 16
+        cl_lengths[used_cl[0]] = 1
+        bw.write(15, 4)                      # num_code_lengths = 19
+        for slot in _CODE_LENGTH_ORDER:
+            bw.write(cl_lengths[slot] if slot < 16 else 0, 3)
+        bw.write(0, 1)                       # no max_symbol shortcut
+        return                               # zero bits per symbol
     cl_lengths = _balanced_lengths(used_cl, 16)
     bw.write(15, 4)                          # num_code_lengths = 19
     for slot in _CODE_LENGTH_ORDER:

@@ -394,3 +394,15 @@ def test_salted_join_value_identity(spark):
                salted_join(hop1, hop2, "mid", hot_keys=hot)
                .select("doc", "origin").collect()}
         assert got == plain, f"hot_keys={hot}"
+
+
+def test_salted_join_rejects_outer_how():
+    """Build-side hot-key replication breaks right/full outer
+    semantics (each unmatched replica would null-extend separately), so
+    salted_join must refuse those modes up front."""
+    import pytest as _pytest
+    from rdf_rdfxml_spark.operators.graph import salted_join
+    for bad in ("right", "full", "outer", "full_outer", "right_outer",
+                "left_anti", "cross"):
+        with _pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(None, None, "k", how=bad, hot_keys=["x"])

@@ -414,3 +414,52 @@ def test_webp_vp8x_extended_still():
     body2 = b"WEBP" + vp8x + anim + vp8l_chunk
     with pytest.raises(DecodeError):
         W.decode_webp(b"RIFF" + len(body2).to_bytes(4, "little") + body2)
+
+
+def test_webp_predictor13_truncating_division():
+    """ClampAddSubtractHalf uses C division (truncate toward zero):
+    for avg < TL with an odd delta, floor division is off by one.
+    avg2(L=10, T=10) = 10, TL = 13 -> d = -3; C gives 10 + (-1) = 9,
+    Python floor would give 10 + (-2) = 8."""
+    ch = np.zeros((2, 2, 4), dtype=np.uint8)
+    ch[1, 0] = [10, 10, 10, 10]              # left
+    ch[0, 1] = [10, 10, 10, 10]              # top
+    ch[0, 0] = [13, 13, 13, 13]              # top-left
+    pred = W._pred_value(ch, 1, 1, 13, 2)
+    assert (pred == 9).all()
+    # positive delta sanity: avg=13, TL=10 -> d=3 -> 13 + 1 = 14
+    ch[1, 0] = ch[0, 1] = [13, 13, 13, 13]
+    ch[0, 0] = [10, 10, 10, 10]
+    assert (W._pred_value(ch, 1, 1, 13, 2) == 14).all()
+
+
+def test_webp_predictor11_tie_returns_top():
+    """Select (mode 11): spec is `if (pL < pT) return L else return T`
+    — an exact Manhattan-distance tie must return TOP."""
+    ch = np.zeros((2, 2, 4), dtype=np.uint8)
+    ch[0, 0] = [255, 10, 10, 10]             # TL
+    ch[1, 0] = [255, 20, 10, 10]             # L: |L-TL| = 10
+    ch[0, 1] = [255, 10, 20, 10]             # T: |T-TL| = 10  (tie)
+    pred = W._pred_value(ch, 1, 1, 11, 2)
+    assert (pred == ch[0, 1]).all()          # tie -> TOP
+    # non-tie sanity: pl = |T-TL|, pt = |L-TL|; moving L far from TL
+    # makes pt large -> pl < pt -> LEFT wins
+    ch[1, 0] = [255, 200, 10, 10]
+    assert (W._pred_value(ch, 1, 1, 11, 2) == ch[1, 0]).all()
+
+
+def test_webp_encode_full_alphabet_channel():
+    """A channel using its entire 256-value alphabet produces a
+    balanced code where EVERY symbol has length 8 (n=256, D=0) — the
+    code-length set is a singleton and must be written as a 1-symbol
+    code-length code (zero bits per length), not crash."""
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[..., 0] = np.arange(256, dtype=np.uint8).reshape(16, 16)  # R full
+    img[..., 1] = 7
+    img[..., 2] = np.arange(256, dtype=np.uint8).reshape(16, 16)[::-1]
+    p = W.encode_webp_lossless(img, subtract_green=False, use_lz77=False)
+    assert (W.decode_webp(p) == img).all()
+    # and with defaults (subtract-green shifts the alphabet, coverage
+    # stays full because green is constant)
+    p2 = W.encode_webp_lossless(img)
+    assert (W.decode_webp(p2) == img).all()
