@@ -1047,6 +1047,21 @@ def _multimodal_oracle() -> str:
             " AS t(media_id, feature, n_bytes)")
 
 
+def q_image_neardup(spark, sf_dir):
+    # Perceptual image dedup (round-6 VERDICT item #2): dHash over the
+    # REAL decode path (PPM/PNG/WebP-VP8L payloads of the same pixels) +
+    # Hamming-LSH banding — the image twin of simhash_candidates. The
+    # corpus is the deterministic synthetic near-dup table (base /
+    # brightness-shift / noise variants across lossless re-encodes); the
+    # oracle inlines sequentially-computed hashes and runs the SAME
+    # banding join in DuckDB, so the distributed join is value-checked.
+    from rdf_rdfxml_spark.operators.multimodal import (
+        image_neardup_candidates, synth_neardup_media,
+    )
+    media = synth_neardup_media(spark, 48).repartition(8)
+    return image_neardup_candidates(media)
+
+
 def q_training_corpus_stats(spark, sf_dir):
     # The end-to-end curation pipeline an LLM data job runs, as one query:
     # exact dedup (keep min doc_id per content hash) → near-dup removal
@@ -1275,6 +1290,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-identical salted self-join (round 5; shares the
         # kg_two_hop oracle — salting never changes the result)
         "kg_two_hop_salted": q_kg_two_hop_salted,
+        # perceptual image near-dup (round 6) — first in line for a gate
+        # seat per the COVERAGE.md rotation policy
+        "image_neardup_candidates": q_image_neardup,
     }
 
 
@@ -1362,7 +1380,9 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB twins for the driver-gated :func:`queries` (50 entries —
     the registry sits exactly at the driver's 50-entry gate cap, so any
     future gated addition must displace an entry into
-    :func:`extra_queries`; tools/check_oracles.py asserts the cap)."""
+    :func:`extra_queries`; tools/check_oracles.py asserts the cap).
+    The rotation policy — what qualifies for a seat and what gets
+    displaced — is documented in COVERAGE.md §2.5."""
     all_ = _all_oracle_sql()
     return {k: all_[k] for k in queries() if k in all_}
 
@@ -1754,4 +1774,8 @@ def _all_oracle_sql() -> dict[str, str]:
     # the salted join must be value-identical to the broadcast path
     oracles["entity_linking_salted"] = oracles["entity_linking"]
     oracles["kg_two_hop_salted"] = oracles["kg_two_hop"]
+    from rdf_rdfxml_spark.operators.multimodal import (
+        image_neardup_oracle_sql,
+    )
+    oracles["image_neardup_candidates"] = image_neardup_oracle_sql(48)
     return oracles

@@ -1174,3 +1174,184 @@ def decode_gif(payload: bytes) -> np.ndarray:
             return deint
         return img.copy()
     raise DecodeError(f"no image data in GIF ({sw}x{sh} screen)")
+
+
+# --- image near-dup dedup (perceptual hash + Hamming-LSH) -----------------
+#
+# The text dedup suite (sketch.py simhash/minhash) catches near-identical
+# TEXT; real training pipelines also dedup IMAGES, where byte-level hashes
+# miss re-encodes and small edits. dHash (difference hash) over the decoded
+# pixels is the standard perceptual signature: block-mean downsample to a
+# small grid, compare horizontally adjacent cells, one bit each. Brightness
+# shifts, lossless re-encodes (PNG vs PPM vs WebP-VP8L of the same pixels)
+# and light noise keep the hash within a few bits; unrelated images land
+# ~bits/2 apart. Candidate generation reuses the Hamming-LSH pigeonhole
+# banding proven by sketch.simhash_candidates — same non-negative <=62-bit
+# convention so the band shift/mod arithmetic is dialect-seam-free
+# (CLAUDE.md invariants; sketch.py:50).
+
+DHASH_BITS = 48                              # 6x9 grid -> 6x8 comparisons
+
+
+def dhash48(img: np.ndarray) -> int:
+    """48-bit dHash of an (h, w, 3) uint8 image: grayscale block means on
+    a 6-row x 9-col grid, bit = cell[i,j] < cell[i,j+1], row-major, MSB
+    first. Non-negative (fits signed BIGINT exactly — same convention as
+    sketch.SIMHASH_BITS=48, avoiding signed shift/mod dialect seams)."""
+    gray = img.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    rows, cols = 6, 9
+    ys = np.linspace(0, h, rows + 1).astype(int)
+    xs = np.linspace(0, w, cols + 1).astype(int)
+    cells = np.empty((rows, cols), dtype=np.float64)
+    for i in range(rows):
+        for j in range(cols):
+            cells[i, j] = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                               xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+    bits = (cells[:, :-1] < cells[:, 1:]).reshape(-1)
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def synth_neardup_media_item(i: int, n_base: int = 16) -> tuple:
+    """Deterministic near-dup image corpus item i: (media_id, mime,
+    payload). Item i is variant ``i // n_base`` of base ``i % n_base``:
+    variant 0 = the base pixels, variant 1 = uniform brightness +6
+    (dHash-invariant: adjacent-cell COMPARISONS are unchanged by a
+    uniform shift — base pixels stay in [16, 224] so no clipping),
+    variant 2 = sparse ±12 noise on 12% of pixels (flips a few near-tie
+    bits — nonzero Hamming for most bases, exercising the radius
+    filter). Formats rotate the LOSSLESS encoders (PPM / PNG /
+    WebP-VP8L) so near-dup detection spans re-encoded payloads whose
+    bytes share nothing. Shared by :func:`synth_neardup_media` and the
+    driver oracle builder so the two can never drift."""
+    base = i % n_base
+    variant = i // n_base
+    seed = int.from_bytes(
+        hashlib.sha256(f"neardup:{base}".encode()).digest()[:4], "big")
+    rng = np.random.default_rng(seed)
+    img = rng.integers(16, 225, size=(24, 32, 3), dtype=np.uint8)
+    if variant == 1:
+        img = (img.astype(np.int16) + 6).clip(0, 255).astype(np.uint8)
+    elif variant == 2:
+        noise_rng = np.random.default_rng(seed ^ 0x5A5A5A5A)
+        mask = noise_rng.random(img.shape[:2]) < 0.12
+        delta = noise_rng.integers(-12, 13, size=img.shape,
+                                   dtype=np.int16)
+        img = np.where(mask[..., None],
+                       (img.astype(np.int16) + delta).clip(0, 255),
+                       img).astype(np.uint8)
+    media_id = "n%04d" % i
+    fmt = i % 3
+    if fmt == 1:
+        return (media_id, "image/png", encode_png(img))
+    if fmt == 2:
+        from .webp import encode_webp_lossless
+        return (media_id, "image/webp", encode_webp_lossless(img))
+    return (media_id, "image/x-portable-pixmap", encode_ppm(img))
+
+
+def synth_neardup_media(spark, n: int = 48, n_base: int = 16) -> DataFrame:
+    """Deterministic synthetic near-dup media table (no external data)."""
+    rows = []
+    for i in range(n):
+        media_id, mime, payload = synth_neardup_media_item(i, n_base)
+        rows.append((media_id, "image", mime, bytearray(payload),
+                     None, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def image_dhash(media: DataFrame, *,
+                payload_col: str = "payload") -> DataFrame:
+    """(media_id, payload) → (media_id, dhash, error): document-local
+    decode + 48-bit dHash in ONE Arrow stage (pyarrow in/out, no pandas
+    — the extract.py hot-path pattern), zero shuffle. Per-item failures
+    → error rows, never exceptions (isolation invariant)."""
+    import pyarrow as pa
+
+    def fn(it):
+        for rb in it:
+            mids = rb.column(rb.schema.get_field_index("media_id"))
+            payloads = rb.column(rb.schema.get_field_index(payload_col))
+            out_id, out_h, out_e = [], [], []
+            for k in range(rb.num_rows):
+                mid = mids[k].as_py()
+                payload = payloads[k].as_py() or b""
+                out_id.append(mid)
+                try:
+                    out_h.append(dhash48(decode_image(bytes(payload))))
+                    out_e.append(None)
+                except Exception as e:      # per-item isolation
+                    out_h.append(None)
+                    out_e.append(f"{type(e).__name__}: {e}")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_id, type=pa.string()),
+                 pa.array(out_h, type=pa.int64()),
+                 pa.array(out_e, type=pa.string())],
+                names=["media_id", "dhash", "error"])
+
+    return media.select("media_id", payload_col).mapInArrow(
+        fn, schema="media_id string, dhash long, error string")
+
+
+def image_neardup_candidates(media: DataFrame, *, n_bands: int = 4,
+                             radius: int = 3) -> DataFrame:
+    """Perceptual near-dup candidate pairs over an image table: dHash
+    (zero shuffle) → Hamming-LSH band equi-join → exact Hamming
+    post-filter. Pigeonhole guarantee (same as simhash_candidates): any
+    pair within Hamming distance ``n_bands - 1`` shares at least one
+    band, so recall at ``radius <= n_bands - 1`` is exact, not
+    probabilistic. Scale shape: ``n_bands`` fixed-width rows per image
+    into the only shuffle; pair verification is integer XOR+popcount.
+
+    Output: ``(a, b, hamming)`` with a < b, distinct,
+    ``hamming <= radius``."""
+    assert DHASH_BITS % n_bands == 0 and radius <= n_bands - 1
+    width = DHASH_BITS // n_bands
+    sig = image_dhash(media).filter("dhash IS NOT NULL")
+    bands = sig.selectExpr(
+        "media_id",
+        f"explode(transform(sequence(0, {n_bands - 1}), b -> "
+        f"named_struct('band_id', b, 'band_value', "
+        f"shiftright(dhash, b * {width}) % {2 ** width}))) AS x",
+        "dhash").selectExpr("media_id", "x.band_id", "x.band_value",
+                            "dhash")
+    left = bands.selectExpr("media_id AS a", "band_id", "band_value",
+                            "dhash AS ha")
+    right = bands.selectExpr("media_id AS b", "band_id", "band_value",
+                             "dhash AS hb")
+    return (left.join(right, ["band_id", "band_value"]).filter("a < b")
+            .selectExpr("a", "b", "bit_count(ha ^ hb) AS hamming")
+            .distinct().filter(f"hamming <= {radius}"))
+
+
+def image_neardup_oracle_sql(n: int = 48, n_base: int = 16, *,
+                             n_bands: int = 4, radius: int = 3) -> str:
+    """DuckDB twin: dHashes computed sequentially at SQL-generation time
+    through the SAME decode + dhash48 path (shared synth item helper —
+    cannot drift), inlined as VALUES; the banding + Hamming join — the
+    distributed part under test — expressed in SQL."""
+    width = DHASH_BITS // n_bands
+    rows = []
+    for i in range(n):
+        media_id, _mime, payload = synth_neardup_media_item(i, n_base)
+        rows.append(f"('{media_id}', {dhash48(decode_image(payload))})")
+    values = ",\n      ".join(rows)
+    return f"""
+    WITH sig AS (SELECT * FROM (VALUES
+      {values}) AS t(media_id, dhash)),
+    bands AS (
+      SELECT media_id, CAST(b AS INTEGER) AS band_id,
+             (dhash >> CAST(b * {width} AS INTEGER)) % {2 ** width}
+               AS band_value,
+             dhash
+      FROM sig, generate_series(0, {n_bands - 1}) AS g(b))
+    SELECT * FROM (
+      SELECT DISTINCT l.media_id AS a, r.media_id AS b,
+             CAST(bit_count(xor(l.dhash, r.dhash)) AS INTEGER) AS hamming
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_value = r.band_value
+           AND l.media_id < r.media_id)
+    WHERE hamming <= {radius}"""

@@ -1194,3 +1194,44 @@ def test_ogg_flac_roundtrip_property():
                             fixed_order=int(rng.integers(0, 3)))
         dec, rate, bps = decode_ogg_flac(p)
         assert rate == 8000 and (dec == s).all(), (n, ch, bs, cap)
+
+
+def test_dhash48_properties():
+    """Pure dHash invariants: non-negative <=48-bit; EXACTLY invariant
+    under uniform brightness shift (comparisons unchanged, no clipping);
+    far apart for unrelated images."""
+    import numpy as np
+    from rdf_rdfxml_spark.operators.multimodal import dhash48
+    rng = np.random.default_rng(5)
+    img = rng.integers(16, 225, size=(24, 32, 3), dtype=np.uint8)
+    h = dhash48(img)
+    assert 0 <= h < (1 << 48)
+    bright = (img.astype(np.int16) + 6).clip(0, 255).astype(np.uint8)
+    assert dhash48(bright) == h
+    other = rng.integers(16, 225, size=(24, 32, 3), dtype=np.uint8)
+    assert bin(h ^ dhash48(other)).count("1") > 8
+
+
+def test_image_neardup_pipeline(spark):
+    """Distributed dHash + Hamming-LSH over the synthetic near-dup
+    corpus: every base's 3 lossless re-encoded variants pair up within
+    radius 3 (pigeonhole recall is exact at radius <= n_bands-1); no
+    cross-base pairs; partition-invariant; hostile payloads isolate."""
+    from rdf_rdfxml_spark.operators.multimodal import (
+        image_dhash, image_neardup_candidates, synth_neardup_media,
+    )
+    media = synth_neardup_media(spark, 48)
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in image_neardup_candidates(media).collect()}
+    assert len(pairs) == 48                  # 16 bases x C(3,2) pairs
+    for (a, b), ham in pairs.items():
+        assert int(a[1:]) % 16 == int(b[1:]) % 16   # same base only
+        assert 0 <= ham <= 3
+    repart = {(r["a"], r["b"]): r["hamming"] for r in
+              image_neardup_candidates(media.repartition(13)).collect()}
+    assert repart == pairs                   # partition-invariant
+    # hostile payload -> error row, never an exception
+    hostile = media.limit(2).withColumn(
+        "payload", F.lit(bytearray(b"not an image")))
+    rows = image_dhash(hostile).collect()
+    assert all(r["dhash"] is None and r["error"] for r in rows)
