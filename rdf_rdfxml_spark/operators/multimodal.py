@@ -294,8 +294,9 @@ def decode_image(payload: bytes, *, fake: bool = False) -> np.ndarray:
 
     Real decoders: PPM (P6), 24-bit BMP, PNG (8-bit gray/RGB/RGBA, all
     five scanline filters, stdlib zlib), GIF (full LZW), baseline +
-    progressive JPEG, and lossless WebP (VP8L, operators/webp.py),
-    dispatched on magic bytes. Typed-error contract: malformed
+    progressive JPEG, lossless WebP (VP8L, operators/webp.py), and
+    lossy WebP intra-only stills (VP8 key frames, operators/vp8.py,
+    round 6), dispatched on magic bytes. Typed-error contract: malformed
     payloads of a RECOGNIZED format always raise ``DecodeError`` (any
     internal slip — IndexError on a truncated header, ValueError on a
     non-numeric field — is wrapped), unknown formats raise
@@ -401,28 +402,34 @@ def synth_media_item(i: int) -> tuple:
     rng = np.random.default_rng(seed)
     w, h = 4 + (i % 13), 4 + (i % 7)
     img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-    if i % 8 == 1:
+    if i % 9 == 1:
         return ("m%04d" % i, "image/png", encode_png(img), w, h)
-    if i % 8 == 2:
+    if i % 9 == 2:
         return ("m%04d" % i, "image/gif", encode_gif(img), w, h)
-    if i % 8 == 3:
+    if i % 9 == 3:
         from .jpeg import encode_jpeg
         return ("m%04d" % i, "image/jpeg", encode_jpeg(img), w, h)
-    if i % 8 == 4:
+    if i % 9 == 4:
         from .jpeg import encode_jpeg_progressive
         return ("m%04d" % i, "image/jpeg",
                 encode_jpeg_progressive(img, sampling="420"), w, h)
-    if i % 8 == 5:
+    if i % 9 == 5:
         from .jpeg import encode_jpeg
         return ("m%04d" % i, "image/jpeg",
                 encode_jpeg(img, sampling="420", restart_interval=2), w, h)
-    if i % 8 == 6:
+    if i % 9 == 6:
         return ("m%04d" % i, "image/png",
                 encode_png(img, interlaced=True), w, h)
-    if i % 8 == 7:
+    if i % 9 == 7:
         from .webp import encode_webp_lossless
         return ("m%04d" % i, "image/webp",
                 encode_webp_lossless(img, predictor_mode=7), w, h)
+    if i % 9 == 8:
+        # lossy VP8 still (round 6) — lossy but DETERMINISTIC, like the
+        # JPEG slots; the oracle runs the same decode at generation time
+        from .vp8 import encode_webp_lossy
+        return ("m%04d" % i, "image/webp",
+                encode_webp_lossy(img, qi=20, filter_level=12), w, h)
     return ("m%04d" % i, "image/x-portable-pixmap", encode_ppm(img), w, h)
 
 

@@ -10,10 +10,12 @@ selection), LZ77 backward references, and all four transforms
 (PREDICTOR with all 14 modes, cross-color COLOR, SUBTRACT_GREEN,
 COLOR_INDEXING incl. sub-byte pixel packing for small palettes), plus
 the RIFF container walk — including VP8X extended-container STILLS
-(metadata chunks skipped, the VP8L chunk inside decodes). Lossy VP8 and
-animation (ANMF) stay typed-error seams: inter/intra prediction with a
-boolean arithmetic coder is a different engine, and declaring it beats
-half-implementing it.
+(metadata chunks skipped, the VP8L chunk inside decodes). LOSSY VP8
+intra-only stills decode too since round 6 — the RIFF walk dispatches
+"VP8 " chunks to operators/vp8.py (boolean arithmetic decoder, intra
+prediction, token decoding, loop filters; see that module's
+reconstructed-probability-table caveat). Animation (ANMF) and
+inter-coded frames stay the typed-error seam.
 
 One offline caveat, stated rather than hidden: the 2-D near-distance
 table (LZ77 distance codes 1..120) is reconstructed from its definition
@@ -569,7 +571,8 @@ def decode_vp8l(data: bytes):
 
 def decode_webp(payload: bytes) -> np.ndarray:
     """RIFF/WEBP → HxWx3 uint8 (alpha dropped, the suite convention).
-    Lossless (VP8L) only; VP8/VP8X raise the declared typed error."""
+    Lossless (VP8L) and lossy intra-only stills (VP8 key frames, round
+    6 — see operators/vp8.py); animation raises the typed error."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise DecodeError("not a WebP payload")
     riff_len = int.from_bytes(payload[4:8], "little")
@@ -590,16 +593,16 @@ def decode_webp(payload: bytes) -> np.ndarray:
             rgb[..., 2] = argb & 0xFF
             return rgb
         if fourcc == b"VP8 ":
-            raise DecodeError(
-                "lossy WebP (VP8) is a declared seam (VP8L only)")
+            from .vp8 import decode_vp8
+            return decode_vp8(body)
         # VP8X (extended container) and its metadata chunks (ICCP, EXIF,
         # XMP, ALPH — alpha is dropped by suite convention anyway) are
-        # walked over: a VP8X STILL whose image data is a VP8L chunk
-        # decodes; animations (ANMF) and lossy stills still raise.
+        # walked over: a VP8X STILL whose image data is a VP8L or VP8
+        # chunk decodes; animations (ANMF) still raise.
         if fourcc == b"ANMF":
             raise DecodeError("animated WebP is a declared seam")
         pos += 8 + ln + (ln & 1)
-    raise DecodeError("WebP RIFF carries no VP8L chunk")
+    raise DecodeError("WebP RIFF carries no VP8L/VP8 chunk")
 
 
 # --- encoder (spec-valid subset; see module docstring) --------------------
