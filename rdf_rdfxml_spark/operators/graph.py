@@ -82,7 +82,8 @@ def salted_join(probe: DataFrame, build: DataFrame, key: str, *,
 
 def connected_components(edges: DataFrame, *, max_iters: int = 25,
                          checkpoint: bool = True,
-                         stats: dict | None = None) -> DataFrame:
+                         stats: dict | None = None,
+                         hot_keys: list | None = None) -> DataFrame:
     """``edges(a, b)`` (undirected pairs) → ``(node, component)`` where
     ``component`` is the minimum node id in the node's component.
     Only nodes appearing in at least one edge are returned (singletons
@@ -92,7 +93,18 @@ def connected_components(edges: DataFrame, *, max_iters: int = 25,
     to convergence, = component diameter bound) — the attribution
     telemetry for scale runs: wall growth is rounds × per-round join
     cost, so recording rounds separates diameter growth from fan-out
-    growth (tools/scale_proof.py, round-5 verdict #2)."""
+    growth (tools/scale_proof.py, round-5 verdict #2).
+
+    ``hot_keys`` (round 6, VERDICT #5): hub node ids whose symmetrized
+    degree dominates — the per-round ``join(labels, on src)`` is the
+    skew point of the iterative stage (a 90%-hub's edge rows land on
+    ONE reducer every round, so the straggler multiplies by round
+    count; the min-label groupBy is already safe via partial
+    aggregation). With hot keys the round join goes through
+    :func:`salted_join` (value-identical); detect once per graph —
+    e.g. ``detect_hot_keys``/freqItems — and reuse across rounds
+    (the round-5 amortization lesson). Evidence:
+    tools/iterative_skew_proof.py → PERF.md."""
     sym = (edges.selectExpr("a AS src", "b AS dst")
            .unionByName(edges.selectExpr("b AS src", "a AS dst")))
     labels = (sym.select(F.col("src").alias("node")).distinct()
@@ -100,9 +112,16 @@ def connected_components(edges: DataFrame, *, max_iters: int = 25,
     converged = False
     for _it in range(max_iters):
         # candidate labels from neighbors, keep the minimum
-        prop = (sym.join(labels, sym["src"] == labels["node"])
+        if hot_keys:
+            prop = (salted_join(
+                sym, labels.withColumnRenamed("node", "src"), "src",
+                hot_keys=hot_keys)
                 .select(F.col("dst").alias("node"),
                         F.col("component").alias("cand")))
+        else:
+            prop = (sym.join(labels, sym["src"] == labels["node"])
+                    .select(F.col("dst").alias("node"),
+                            F.col("component").alias("cand")))
         new_labels = (labels.select("node", F.col("component").alias("cand"))
                       .unionByName(prop)
                       .groupBy("node")
@@ -154,7 +173,8 @@ def components_oracle_sql(pairs_sql: str) -> str:
 
 
 def pagerank(edges: DataFrame, *, iters: int = 5, damping: float = 0.85,
-             round_dec: int = 9, checkpoint: bool = True) -> DataFrame:
+             round_dec: int = 9, checkpoint: bool = True,
+             hot_keys: list | None = None) -> DataFrame:
     """Fixed-iteration PageRank over directed ``edges(src, dst)`` →
     ``(node, rank)``.
 
@@ -171,6 +191,15 @@ def pagerank(edges: DataFrame, *, iters: int = 5, damping: float = 0.85,
     persisted) edge+outdegree table and one groupBy(dst) partial+final
     aggregate — narrow (node, double) rows only; ``localCheckpoint``
     per round bounds the lineage (the iterative-algorithm footgun).
+
+    ``hot_keys`` (round 6, VERDICT #5): node ids with dominant
+    OUT-degree — the contribution join keys on ``src``, so a 90%-hub
+    source's edge rows hit ONE reducer every round (the groupBy(dst)
+    side is already safe: sum() partially aggregates map-side even for
+    a hot destination). With hot keys the round join goes through
+    :func:`salted_join` (value-identical; the deterministic rounding
+    contract is unaffected because the same additions happen, only on
+    different reducers — verified identical in the proof tool).
     """
     nodes = (edges.selectExpr("src AS node")
              .unionByName(edges.selectExpr("dst AS node")).distinct())
@@ -186,8 +215,10 @@ def pagerank(edges: DataFrame, *, iters: int = 5, damping: float = 0.85,
     ranks = nodes.withColumn(
         "rank", F.expr(f"round(CAST(1.0 AS DOUBLE) / {n}, {round_dec})"))
     for _ in range(iters):
-        contrib = (ed.join(ranks.withColumnRenamed("node", "src"), "src")
-                   .groupBy("dst")
+        rsrc = ranks.withColumnRenamed("node", "src")
+        joined = (salted_join(ed, rsrc, "src", hot_keys=hot_keys)
+                  if hot_keys else ed.join(rsrc, "src"))
+        contrib = (joined.groupBy("dst")
                    .agg(F.sum(F.expr("rank / deg")).alias("c")))
         ranks = (nodes.join(contrib.withColumnRenamed("dst", "node"),
                             "node", "left")

