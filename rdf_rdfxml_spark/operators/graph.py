@@ -207,8 +207,12 @@ def pagerank(edges: DataFrame, *, iters: int = 5, damping: float = 0.85,
     if n == 0:
         raise ValueError("pagerank needs a non-empty edge set")
     teleport = (1.0 - damping) / n
-    ed = edges.join(edges.groupBy("src").agg(F.count("*").alias("deg")),
-                    "src").persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # the one-time degree build keys on src too — with a hub it is the
+    # SAME row-bound straggler as the per-round join (measured ratio
+    # ~130 when only the round joins were salted), so it salts with them
+    ed = (salted_join(edges, deg, "src", hot_keys=hot_keys)
+          if hot_keys else edges.join(deg, "src")).persist()
     nodes = nodes.persist()
     # init via Spark round (HALF_UP) — Python round() is banker's and
     # could disagree with the oracle's ROUND on exact halves
