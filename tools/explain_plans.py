@@ -99,6 +99,31 @@ def main():
     hop2 = triples.selectExpr("s AS mid", "o AS origin")
     salted_join(hop1, hop2, "mid", hot_keys=["hub"]).explain("formatted")
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    print("=" * 72)
+    print("9. image near-dup (round 6) — decode+dHash in ONE mapInArrow "
+          "stage (zero shuffle before the sketch), then the Hamming-LSH "
+          "band equi-join on (band_id, band_value): the only exchange "
+          "moves fixed-width (media_id, band, hash) rows, never pixels")
+    print("=" * 72)
+    from rdf_rdfxml_spark.operators.multimodal import (
+        image_neardup_candidates, synth_neardup_media,
+    )
+    image_neardup_candidates(
+        synth_neardup_media(spark, 48)).explain("formatted")
+
+    print("=" * 72)
+    print("10. int8 within-cell prefilter (round 6) — the pair score is "
+          "a per-cell FlatMapGroupsInPandas (numpy int8 matmul); only "
+          "surviving id-pairs reach the float recheck join against the "
+          "BROADCAST unit-vector table — no array ever shuffles")
+    print("=" * 72)
+    from rdf_rdfxml_spark.operators.ann import (
+        _dedup_from_assign, ivf_assign,
+    )
+    emb = load_embeddings(spark, sf_dir)
+    _dedup_from_assign(emb, ivf_assign(emb, n_cells=8, nprobe=4),
+                       0.4).explain("formatted")
     spark.stop()
 
 

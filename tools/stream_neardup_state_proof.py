@@ -47,7 +47,7 @@ sys.path.insert(0, "/root/repo")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HORIZON_S = 3600
-N_FILES = 25
+N_FILES = 10
 BASE_TS = 1700000000
 
 
@@ -61,6 +61,11 @@ def main():
              .master("local[8]")
              .config("spark.sql.shuffle.partitions", "16")
              .config("spark.driver.memory", "8g")
+             # keep every batch's progress: the 10x leg runs 100
+             # microbatches and the default recent-progress buffer also
+             # holds 100 — one short and the peak could clip silently
+             .config("spark.sql.streaming.numRecentProgressUpdates",
+                     "250")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -130,9 +135,16 @@ def main():
                           for d in ("in", "out", "ckpt"))
         alld = build_leg_corpus(replicate)
         n_docs = alld.count()
-        # ts-ordered files (mtime order = event-time order)
+        # ts-ordered files (mtime order = event-time order). Files scale
+        # with the stream SPAN so each microbatch covers the same
+        # event-time window on both legs: state GC fires at batch
+        # boundaries, so a batch spanning 10x the event time would hold
+        # 10x the horizon population live at once — that would measure
+        # the batching, not the operator (first cut measured exactly
+        # that: peak ratio 4.3 with a fixed file count).
+        n_files = N_FILES * replicate
         bounds = (alld.selectExpr(
-            f"ntile({N_FILES}) OVER (ORDER BY ingested_at) AS b",
+            f"ntile({n_files}) OVER (ORDER BY ingested_at) AS b",
             "ingested_at")
             .groupBy("b").agg(F.max("ingested_at").alias("hi"))
             .orderBy("b").collect())
