@@ -70,11 +70,13 @@ def value_hash(rows, colnames):
 def main():
     args = sys.argv[1:]
     json_out = None
-    if args and args[0] == "--json":
-        json_out = args[1]
-        args = args[2:]
+    if "--json" in args:                     # position-independent: a
+        i = args.index("--json")             # trailing --json used to be
+        json_out = args[i + 1]               # swallowed as a query
+        args = args[:i] + args[i + 2:]       # filter (vacuous ALL-PASS)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+    assert not any(a.startswith("-") for a in only), only
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
