@@ -601,6 +601,38 @@ def q_dedup_components(spark, sf_dir):
     return component_stats(minhash_candidates(docs))
 
 
+def q_kg_pagerank_salted(spark, sf_dir):
+    # The round-6 salted iterative path (graph.pagerank hot_keys: every
+    # per-round src join AND the degree build go through salted_join),
+    # value-checked against the UNSALTED oracle — salting never changes
+    # the result, and the per-round 1e-9 rounding contract absorbs the
+    # reordered partial sums (PERF.md §22). The gate corpus is uniform,
+    # so the designated hot nodes simply exercise the replicate/spread
+    # machinery end-to-end.
+    from rdf_rdfxml_spark.operators.graph import pagerank
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    edges = (docs.selectExpr(
+        "concat('d', doc_id) AS src",
+        f"concat('d', (doc_id * 7 + 1) % {n}) AS dst")
+        .unionByName(docs.selectExpr(
+            "concat('d', doc_id) AS src",
+            f"concat('d', (doc_id * 3 + 2) % {n}) AS dst")))
+    return (pagerank(edges, hot_keys=["d0", "d1"])
+            .selectExpr("node", "round(rank, 6) AS rank_r"))
+
+
+def q_dedup_components_salted(spark, sf_dir):
+    # Salted per-round label propagation (round 6) — same oracle as
+    # dedup_components (value identity is the contract; PERF.md §22
+    # carries the 90%-hub straggler evidence).
+    from rdf_rdfxml_spark.operators.graph import component_stats
+    from rdf_rdfxml_spark.operators.sketch import minhash_candidates
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    return component_stats(minhash_candidates(docs), hot_keys=[0, 1])
+
+
 def q_simhash(spark, sf_dir):
     # 48-bit SimHash, document-local in mapInArrow (the round-1 plan
     # shuffled a 16×-bit-exploded token stream through two aggregations).
@@ -1293,6 +1325,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # perceptual image near-dup (round 6) — first in line for a gate
         # seat per the COVERAGE.md rotation policy
         "image_neardup_candidates": q_image_neardup,
+        # salted ITERATIVE paths (round 6) — share the unsalted oracles
+        "kg_pagerank_salted": q_kg_pagerank_salted,
+        "dedup_components_salted": q_dedup_components_salted,
     }
 
 
@@ -1778,4 +1813,6 @@ def _all_oracle_sql() -> dict[str, str]:
         image_neardup_oracle_sql,
     )
     oracles["image_neardup_candidates"] = image_neardup_oracle_sql(48)
+    oracles["kg_pagerank_salted"] = oracles["kg_pagerank"]
+    oracles["dedup_components_salted"] = oracles["dedup_components"]
     return oracles
