@@ -1094,6 +1094,20 @@ def q_image_neardup(spark, sf_dir):
     return image_neardup_candidates(media)
 
 
+def q_audio_neardup(spark, sf_dir):
+    # Audio near-dup (round 6): 48-bit spectral-derivative fingerprint
+    # (chromaprint-family, gain-invariant) through the REAL audio decode
+    # path (WAV-PCM / FLAC / Ogg-FLAC re-encodes of the same samples) +
+    # the same Hamming-LSH banding as images/text. With image_neardup
+    # and the text sketches this completes near-dup dedup across all
+    # three data modalities the engine decodes.
+    from rdf_rdfxml_spark.operators.multimodal import (
+        audio_neardup_candidates, synth_neardup_audio,
+    )
+    media = synth_neardup_audio(spark, 36).repartition(8)
+    return audio_neardup_candidates(media)
+
+
 def q_training_corpus_stats(spark, sf_dir):
     # The end-to-end curation pipeline an LLM data job runs, as one query:
     # exact dedup (keep min doc_id per content hash) → near-dup removal
@@ -1328,6 +1342,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # salted ITERATIVE paths (round 6) — share the unsalted oracles
         "kg_pagerank_salted": q_kg_pagerank_salted,
         "dedup_components_salted": q_dedup_components_salted,
+        # audio near-dup (round 6) — the third dedup modality
+        "audio_neardup_candidates": q_audio_neardup,
     }
 
 
@@ -1815,4 +1831,8 @@ def _all_oracle_sql() -> dict[str, str]:
     oracles["image_neardup_candidates"] = image_neardup_oracle_sql(48)
     oracles["kg_pagerank_salted"] = oracles["kg_pagerank"]
     oracles["dedup_components_salted"] = oracles["dedup_components"]
+    from rdf_rdfxml_spark.operators.multimodal import (
+        audio_neardup_oracle_sql,
+    )
+    oracles["audio_neardup_candidates"] = audio_neardup_oracle_sql(36)
     return oracles

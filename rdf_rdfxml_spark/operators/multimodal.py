@@ -1315,20 +1315,29 @@ def image_neardup_candidates(media: DataFrame, *, n_bands: int = 4,
 
     Output: ``(a, b, hamming)`` with a < b, distinct,
     ``hamming <= radius``."""
-    assert DHASH_BITS % n_bands == 0 and radius <= n_bands - 1
-    width = DHASH_BITS // n_bands
     sig = image_dhash(media).filter("dhash IS NOT NULL")
+    return _hamming_lsh_pairs(sig, "dhash", DHASH_BITS,
+                              n_bands=n_bands, radius=radius)
+
+
+def _hamming_lsh_pairs(sig: DataFrame, hash_col: str, bits: int, *,
+                       n_bands: int, radius: int) -> DataFrame:
+    """Shared Hamming-LSH banding over a (media_id, <hash_col>)
+    signature table — the image/audio near-dup join engine (the same
+    shape sketch.simhash_candidates proved for text)."""
+    assert bits % n_bands == 0 and radius <= n_bands - 1
+    width = bits // n_bands
     bands = sig.selectExpr(
         "media_id",
         f"explode(transform(sequence(0, {n_bands - 1}), b -> "
         f"named_struct('band_id', b, 'band_value', "
-        f"shiftright(dhash, b * {width}) % {2 ** width}))) AS x",
-        "dhash").selectExpr("media_id", "x.band_id", "x.band_value",
-                            "dhash")
+        f"shiftright({hash_col}, b * {width}) % {2 ** width}))) AS x",
+        hash_col).selectExpr("media_id", "x.band_id", "x.band_value",
+                             hash_col)
     left = bands.selectExpr("media_id AS a", "band_id", "band_value",
-                            "dhash AS ha")
+                            f"{hash_col} AS ha")
     right = bands.selectExpr("media_id AS b", "band_id", "band_value",
-                             "dhash AS hb")
+                             f"{hash_col} AS hb")
     return (left.join(right, ["band_id", "band_value"]).filter("a < b")
             .selectExpr("a", "b", "bit_count(ha ^ hb) AS hamming")
             .distinct().filter(f"hamming <= {radius}"))
@@ -1358,6 +1367,181 @@ def image_neardup_oracle_sql(n: int = 48, n_base: int = 16, *,
     SELECT * FROM (
       SELECT DISTINCT l.media_id AS a, r.media_id AS b,
              CAST(bit_count(xor(l.dhash, r.dhash)) AS INTEGER) AS hamming
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_value = r.band_value
+           AND l.media_id < r.media_id)
+    WHERE hamming <= {radius}"""
+
+
+# --- audio near-dup dedup (spectral fingerprint + Hamming-LSH) ------------
+#
+# Training pipelines dedup AUDIO too: byte hashes miss re-encodes (the
+# same samples as WAV-PCM vs FLAC vs Ogg-FLAC share no bytes) and small
+# gain/noise edits. The fingerprint is the chromaprint FAMILY shape
+# (public: Acoustid/chromaprint, Haitsma-Kalker 2002): frame the
+# signal, per-frame spectral band energies, bit = the TEMPORAL energy
+# derivative's sign — uniform gain scales every energy equally, so the
+# comparisons (and the fingerprint) are gain-invariant. 48 bits, the
+# repo's <=62-bit signed-BIGINT convention, through the same
+# Hamming-LSH banding as images/text.
+
+AUDIO_FP_FRAMES = 13                         # 12 deltas x 4 bands = 48
+AUDIO_FP_BANDS = 4
+
+
+def audio_fingerprint48(samples: np.ndarray, rate: int) -> int:
+    """48-bit spectral-derivative fingerprint: mono mix → 13 equal
+    frames → 4 contiguous rfft band energies each → bit per
+    (frame-delta, band) = E[f][b] > E[f-1][b], frame-major, MSB first.
+    ``rate`` is unused by the math (frames are relative) but kept for
+    the decode contract. Deterministic pure numpy."""
+    mono = samples.astype(np.float64)
+    if mono.ndim == 2:
+        mono = mono.mean(axis=1)
+    n = mono.shape[0]
+    frames = AUDIO_FP_FRAMES
+    if n < frames * 8:                       # too short to frame
+        mono = np.pad(mono, (0, frames * 8 - n))
+        n = mono.shape[0]
+    flen = n // frames
+    e = np.empty((frames, AUDIO_FP_BANDS), dtype=np.float64)
+    for f in range(frames):
+        spec = np.abs(np.fft.rfft(mono[f * flen:(f + 1) * flen])) ** 2
+        spec = spec[1:]                      # drop DC (gain offset)
+        bw = max(1, len(spec) // AUDIO_FP_BANDS)
+        for b in range(AUDIO_FP_BANDS):
+            lo = b * bw
+            hi = (b + 1) * bw if b < AUDIO_FP_BANDS - 1 else len(spec)
+            e[f, b] = spec[lo:hi].sum()
+    bits = (e[1:] > e[:-1]).reshape(-1)      # 12 x 4 = 48 comparisons
+    out = 0
+    for bit in bits:
+        out = (out << 1) | int(bit)
+    return out
+
+
+def synth_neardup_audio_item(i: int, n_base: int = 12, *,
+                             rate: int = 8000, ms: int = 120) -> tuple:
+    """Deterministic near-dup audio corpus item i: (media_id, payload).
+    Item i is variant ``i // n_base`` of base ``i % n_base``: variant 0
+    = the base mix (three seeded sines + low noise), variant 1 = gain
+    x1.25 (fingerprint-invariant up to int16 rounding), variant 2 =
+    extra low-level noise (flips a few near-tie bits). Codecs rotate
+    the LOSSLESS paths (WAV-PCM / FLAC / Ogg-FLAC) so candidates span
+    payloads whose bytes share nothing. Shared with the oracle builder
+    so the two can never drift."""
+    base = i % n_base
+    variant = i // n_base
+    seed = int.from_bytes(
+        hashlib.sha256(f"neardup-audio:{base}".encode()).digest()[:4],
+        "big")
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(rate * ms / 1000)) / rate
+    wave = np.zeros_like(t)
+    for k in range(3):
+        wave += (float(rng.uniform(2000, 6000))
+                 * np.sin(2 * np.pi * float(rng.uniform(150, 2500)) * t
+                          + float(rng.uniform(0, 6.28))))
+    wave += rng.normal(0, 120, size=t.shape)
+    if variant == 1:
+        wave = wave * 1.25
+    elif variant == 2:
+        nrng = np.random.default_rng(seed ^ 0x3C3C3C3C)
+        wave = wave + nrng.normal(0, 60, size=t.shape)
+    pcm = np.clip(wave, -30000, 30000).astype(np.int16).reshape(-1, 1)
+    media_id = "s%04d" % i
+    fmt = i % 3
+    if fmt == 1:
+        from .flac import encode_flac
+        return media_id, encode_flac(pcm.astype(np.int32), rate,
+                                     lpc_order=8)
+    if fmt == 2:
+        from .flac import encode_ogg_flac
+        return media_id, encode_ogg_flac(pcm.astype(np.int32), rate,
+                                         lpc_order=8)
+    return media_id, encode_wav(pcm, rate)
+
+
+def synth_neardup_audio(spark, n: int = 36, n_base: int = 12) -> DataFrame:
+    """Deterministic synthetic near-dup audio table (no external data)."""
+    rows = []
+    for i in range(n):
+        media_id, payload = synth_neardup_audio_item(i, n_base)
+        mime = {b"fLaC": "audio/flac", b"OggS": "audio/ogg"}.get(
+            payload[:4], "audio/wav")
+        rows.append((media_id, "audio", mime, bytearray(payload),
+                     None, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def audio_fingerprints(media: DataFrame, *,
+                       payload_col: str = "payload") -> DataFrame:
+    """(media_id, payload) → (media_id, afp, error): decode + 48-bit
+    spectral fingerprint in ONE Arrow stage, zero shuffle, per-item
+    error isolation (the audio twin of :func:`image_dhash`)."""
+    import pyarrow as pa
+
+    def fn(it):
+        for rb in it:
+            mids = rb.column(rb.schema.get_field_index("media_id"))
+            payloads = rb.column(rb.schema.get_field_index(payload_col))
+            out_id, out_h, out_e = [], [], []
+            for k in range(rb.num_rows):
+                out_id.append(mids[k].as_py())
+                payload = payloads[k].as_py() or b""
+                try:
+                    samples, rate = _decode_audio_checked(bytes(payload))
+                    out_h.append(audio_fingerprint48(samples, rate))
+                    out_e.append(None)
+                except Exception as e:      # per-item isolation
+                    out_h.append(None)
+                    out_e.append(f"{type(e).__name__}: {e}")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_id, type=pa.string()),
+                 pa.array(out_h, type=pa.int64()),
+                 pa.array(out_e, type=pa.string())],
+                names=["media_id", "afp", "error"])
+
+    return media.select("media_id", payload_col).mapInArrow(
+        fn, schema="media_id string, afp long, error string")
+
+
+def audio_neardup_candidates(media: DataFrame, *, n_bands: int = 4,
+                             radius: int = 3) -> DataFrame:
+    """Audio near-dup candidate pairs: spectral fingerprint (zero
+    shuffle) → Hamming-LSH band equi-join → exact Hamming post-filter,
+    identical machinery (and pigeonhole recall guarantee) to
+    :func:`image_neardup_candidates`. Output ``(a, b, hamming)``."""
+    sig = audio_fingerprints(media).filter("afp IS NOT NULL")
+    return _hamming_lsh_pairs(sig, "afp", 48, n_bands=n_bands,
+                              radius=radius)
+
+
+def audio_neardup_oracle_sql(n: int = 36, n_base: int = 12, *,
+                             n_bands: int = 4, radius: int = 3) -> str:
+    """DuckDB twin: fingerprints computed sequentially at SQL-generation
+    time through the SAME decode + fingerprint path, inlined as VALUES;
+    banding + Hamming join expressed in SQL (the image oracle's shape)."""
+    width = 48 // n_bands
+    rows = []
+    for i in range(n):
+        media_id, payload = synth_neardup_audio_item(i, n_base)
+        samples, rate = _decode_audio_checked(payload)
+        rows.append(f"('{media_id}', "
+                    f"{audio_fingerprint48(samples, rate)})")
+    values = ",\n      ".join(rows)
+    return f"""
+    WITH sig AS (SELECT * FROM (VALUES
+      {values}) AS t(media_id, afp)),
+    bands AS (
+      SELECT media_id, CAST(b AS INTEGER) AS band_id,
+             (afp >> CAST(b * {width} AS INTEGER)) % {2 ** width}
+               AS band_value,
+             afp
+      FROM sig, generate_series(0, {n_bands - 1}) AS g(b))
+    SELECT * FROM (
+      SELECT DISTINCT l.media_id AS a, r.media_id AS b,
+             CAST(bit_count(xor(l.afp, r.afp)) AS INTEGER) AS hamming
       FROM bands l JOIN bands r
         ON l.band_id = r.band_id AND l.band_value = r.band_value
            AND l.media_id < r.media_id)

@@ -1235,3 +1235,51 @@ def test_image_neardup_pipeline(spark):
         "payload", F.lit(bytearray(b"not an image")))
     rows = image_dhash(hostile).collect()
     assert all(r["dhash"] is None and r["error"] for r in rows)
+
+
+def test_audio_fingerprint_properties():
+    """Pure fingerprint invariants: non-negative <=48-bit; EXACTLY
+    invariant under float gain (the temporal-derivative comparisons
+    scale uniformly); far apart for unrelated signals."""
+    import numpy as np
+    from rdf_rdfxml_spark.operators.multimodal import audio_fingerprint48
+    rng = np.random.default_rng(31)
+    t = np.arange(960) / 8000
+    wave = (4000 * np.sin(2 * np.pi * 440 * t)
+            + 2500 * np.sin(2 * np.pi * 1200 * t)
+            + rng.normal(0, 100, t.shape))
+    pcm = wave.astype(np.int16).reshape(-1, 1)
+    h = audio_fingerprint48(pcm, 8000)
+    assert 0 <= h < (1 << 48)
+    assert audio_fingerprint48((wave * 1.5).astype(np.float64)
+                               .reshape(-1, 1), 8000) == h
+    other = rng.normal(0, 3000, t.shape).astype(np.int16).reshape(-1, 1)
+    assert bin(h ^ audio_fingerprint48(other, 8000)).count("1") > 8
+
+
+def test_audio_neardup_pipeline(spark):
+    """Distributed fingerprint + Hamming-LSH over the synthetic audio
+    near-dup corpus (WAV/FLAC/Ogg-FLAC re-encodes): gain variants pair
+    at hamming 0; same-base pairs only; partition-invariant; hostile
+    payloads isolate."""
+    from rdf_rdfxml_spark.operators.multimodal import (
+        audio_fingerprints, audio_neardup_candidates,
+        synth_neardup_audio,
+    )
+    media = synth_neardup_audio(spark, 36)
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in audio_neardup_candidates(media).collect()}
+    assert len(pairs) >= 24                  # 12 gain pairs + most noise
+    for (a, b), ham in pairs.items():
+        assert int(a[1:]) % 12 == int(b[1:]) % 12   # same base only
+        assert 0 <= ham <= 3
+    # every base's gain variant is found at hamming 0
+    gain_pairs = {(f"s{b:04d}", f"s{b + 12:04d}") for b in range(12)}
+    assert all(pairs.get(p) == 0 for p in gain_pairs)
+    repart = {(r["a"], r["b"]): r["hamming"] for r in
+              audio_neardup_candidates(media.repartition(13)).collect()}
+    assert repart == pairs
+    hostile = media.limit(2).withColumn(
+        "payload", F.lit(bytearray(b"not audio")))
+    rows = audio_fingerprints(hostile).collect()
+    assert all(r["afp"] is None and r["error"] for r in rows)
