@@ -575,11 +575,16 @@ def split_mjpeg_frames(payload: bytes) -> list[bytes]:
 
 
 def split_video_frames(payload: bytes) -> list[bytes]:
-    """Container dispatch for frame splitting: PPM-sequence or raw
-    MJPEG (compressed video — every frame is a baseline JPEG our
-    operators/jpeg.py decodes)."""
+    """Container dispatch for frame splitting: PPM-sequence, raw MJPEG
+    (every frame a baseline JPEG), or ANIMATED WEBP (round 6 — frames
+    composited by webp.decode_webp_anim onto the canvas, honoring
+    offsets/dispose, then re-encoded as PPM so each emitted frame is a
+    standalone decodable still; inter-coded video stays the seam)."""
     if payload[:2] == b"\xff\xd8":
         return split_mjpeg_frames(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import decode_webp_anim
+        return [encode_ppm(f) for f in decode_webp_anim(payload)]
     return split_ppm_frames(payload)
 
 
@@ -620,26 +625,39 @@ def sample_frames(media: DataFrame, *, every: int = 4,
 def synth_video_item(i: int, frames: int = 12) -> tuple:
     """Deterministic synthetic video item i: (media_id, mime, payload).
     Containers rotate PPM-sequence / baseline MJPEG / progressive-4:2:0
-    MJPEG with restart intervals (real compressed video through the
-    frame-sampling path — multi-SOS frame splitting and the full decode
-    envelope under the gated driver query); shared by :func:`synth_video`
-    and the driver oracle builder."""
-    parts = []
+    MJPEG with restart intervals / ANIMATED WEBP (round 6: VP8L frames
+    with per-frame offsets + dispose, composited by the real ANMF
+    decoder inside the frame-sampling path); shared by
+    :func:`synth_video` and the driver oracle builder."""
+    imgs = []
     for f in range(frames):
         seed = int.from_bytes(
             hashlib.sha256(f"video:{i}:{f}".encode()).digest()[:4], "big")
         rng = np.random.default_rng(seed)
-        img = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
-        if i % 3 == 1:
+        imgs.append(rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8))
+    if i % 4 == 3:
+        from .webp import encode_webp_anim
+        # frame 0 fills the canvas; later frames are 4x4 patches at
+        # alternating offsets, every third disposed to background
+        sub = [imgs[0]] + [im[:4, :4] for im in imgs[1:]]
+        offs = [(0, 0)] + [((f % 2) * 4, ((f >> 1) % 2) * 2)
+                           for f in range(1, frames)]
+        disp = [0] + [1 if f % 3 == 0 else 0 for f in range(1, frames)]
+        return ("v%04d" % i, "image/webp",
+                encode_webp_anim(sub, offsets=offs, dispose=disp,
+                                 canvas=(8, 6), bg=(5, 10, 15)))
+    parts = []
+    for img in imgs:
+        if i % 4 == 1:
             from .jpeg import encode_jpeg
             parts.append(encode_jpeg(img))
-        elif i % 3 == 2:
+        elif i % 4 == 2:
             from .jpeg import encode_jpeg_progressive
             parts.append(encode_jpeg_progressive(
                 img, sampling="420", restart_interval=1))
         else:
             parts.append(encode_ppm(img))
-    mime = "video/x-motion-jpeg" if i % 3 else "video/x-ppm-seq"
+    mime = "video/x-motion-jpeg" if i % 4 else "video/x-ppm-seq"
     return ("v%04d" % i, mime, b"".join(parts))
 
 

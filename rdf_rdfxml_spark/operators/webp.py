@@ -14,8 +14,13 @@ the RIFF container walk — including VP8X extended-container STILLS
 intra-only stills decode too since round 6 — the RIFF walk dispatches
 "VP8 " chunks to operators/vp8.py (boolean arithmetic decoder, intra
 prediction, token decoding, loop filters; see that module's
-reconstructed-probability-table caveat). Animation (ANMF) and
-inter-coded frames stay the typed-error seam.
+reconstructed-probability-table caveat). ANIMATION (ANMF) decodes too
+since round 6: `decode_webp_anim` composites frames (2x offsets,
+dispose-to-background, ANIM background color) with an encoder twin
+(`encode_webp_anim`); alpha is dropped by the suite convention, so the
+blend bit degenerates to overwrite (valid for opaque frames) — ALPH
+sub-chunk decode is the remaining alpha seam. Inter-coded VP8 frames
+stay the typed-error seam.
 
 One offline caveat, stated rather than hidden: the 2-D near-distance
 table (LZ77 distance codes 1..120) is reconstructed from its definition
@@ -572,10 +577,19 @@ def decode_vp8l(data: bytes):
     return argb
 
 
-def decode_webp(payload: bytes) -> np.ndarray:
-    """RIFF/WEBP → HxWx3 uint8 (alpha dropped, the suite convention).
-    Lossless (VP8L) and lossy intra-only stills (VP8 key frames, round
-    6 — see operators/vp8.py); animation raises the typed error."""
+def _decode_still_chunk(fourcc: bytes, body: bytes) -> np.ndarray:
+    if fourcc == b"VP8L":
+        argb = decode_vp8l(body)
+        rgb = np.zeros((*argb.shape, 3), dtype=np.uint8)
+        rgb[..., 0] = (argb >> 16) & 0xFF
+        rgb[..., 1] = (argb >> 8) & 0xFF
+        rgb[..., 2] = argb & 0xFF
+        return rgb
+    from .vp8 import decode_vp8
+    return decode_vp8(body)
+
+
+def _riff_chunks(payload: bytes):
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise DecodeError("not a WebP payload")
     riff_len = int.from_bytes(payload[4:8], "little")
@@ -588,23 +602,88 @@ def decode_webp(payload: bytes) -> np.ndarray:
         body = payload[pos + 8:pos + 8 + ln]
         if len(body) != ln:
             raise DecodeError("truncated WebP chunk")
-        if fourcc == b"VP8L":
-            argb = decode_vp8l(body)
-            rgb = np.zeros((*argb.shape, 3), dtype=np.uint8)
-            rgb[..., 0] = (argb >> 16) & 0xFF
-            rgb[..., 1] = (argb >> 8) & 0xFF
-            rgb[..., 2] = argb & 0xFF
-            return rgb
-        if fourcc == b"VP8 ":
-            from .vp8 import decode_vp8
-            return decode_vp8(body)
+        yield fourcc, body
+        pos += 8 + ln + (ln & 1)
+
+
+def decode_webp_anim(payload: bytes, *, max_frames: int = 256) -> list:
+    """Animated WebP (VP8X + ANIM + ANMF, round 6) → list of composited
+    full-canvas HxWx3 uint8 frames. Frame sub-payloads are VP8L or
+    lossy VP8 stills (ALPH sub-chunks skipped — alpha is dropped by the
+    suite convention, so the blend bit degenerates to overwrite, which
+    the container spec permits for opaque frames); placement honors the
+    2x frame offsets, and the dispose-to-background bit fills the
+    frame's rect with the ANIM background color (alpha-dropped → its
+    RGB) before the NEXT frame renders."""
+    canvas = None
+    bg = (255, 255, 255)
+    frames = []
+    for fourcc, body in _riff_chunks(payload):
+        if fourcc == b"VP8X":
+            if len(body) < 10:
+                raise DecodeError("short VP8X chunk")
+            cw = int.from_bytes(body[4:7], "little") + 1
+            ch = int.from_bytes(body[7:10], "little") + 1
+            if cw * ch > MAX_PIXELS:
+                raise DecodeError("WebP canvas too large")
+            canvas = np.zeros((ch, cw, 3), dtype=np.uint8)
+        elif fourcc == b"ANIM":
+            if len(body) < 6:
+                raise DecodeError("short ANIM chunk")
+            # background is BGRA; keep RGB
+            bg = (body[2], body[1], body[0])
+            if canvas is not None:
+                canvas[:] = bg
+        elif fourcc == b"ANMF":
+            if canvas is None:
+                raise DecodeError("ANMF before VP8X canvas")
+            if len(frames) >= max_frames:
+                raise DecodeError("too many animation frames (bound)")
+            if len(body) < 16:
+                raise DecodeError("short ANMF chunk")
+            fx = int.from_bytes(body[0:3], "little") * 2
+            fy = int.from_bytes(body[3:6], "little") * 2
+            fw = int.from_bytes(body[6:9], "little") + 1
+            fh = int.from_bytes(body[9:12], "little") + 1
+            flags = body[15]
+            dispose_bg = flags & 1
+            img = None
+            for sub_cc, sub_body in _riff_chunks(
+                    b"RIFF" + (len(body) - 16 + 4).to_bytes(4, "little")
+                    + b"WEBP" + body[16:]):
+                if sub_cc in (b"VP8L", b"VP8 "):
+                    img = _decode_still_chunk(sub_cc, sub_body)
+                    break
+            if img is None:
+                raise DecodeError("ANMF frame carries no image chunk")
+            if img.shape[0] != fh or img.shape[1] != fw:
+                raise DecodeError("ANMF frame size mismatch")
+            if fy + fh > canvas.shape[0] or fx + fw > canvas.shape[1]:
+                raise DecodeError("ANMF frame exceeds canvas")
+            canvas[fy:fy + fh, fx:fx + fw] = img
+            frames.append(canvas.copy())
+            if dispose_bg:
+                canvas[fy:fy + fh, fx:fx + fw] = bg
+    if not frames:
+        raise DecodeError("WebP carries no ANMF frames")
+    return frames
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """RIFF/WEBP → HxWx3 uint8 (alpha dropped, the suite convention).
+    Lossless (VP8L), lossy intra-only stills (VP8 key frames, round 6 —
+    see operators/vp8.py), and animations (ANMF, round 6: the FIRST
+    composited frame — the still-image convention for animated inputs;
+    frame sampling goes through multimodal.split_video_frames)."""
+    for fourcc, body in _riff_chunks(payload):
+        if fourcc in (b"VP8L", b"VP8 "):
+            return _decode_still_chunk(fourcc, body)
         # VP8X (extended container) and its metadata chunks (ICCP, EXIF,
         # XMP, ALPH — alpha is dropped by suite convention anyway) are
         # walked over: a VP8X STILL whose image data is a VP8L or VP8
-        # chunk decodes; animations (ANMF) still raise.
+        # chunk decodes; an ANMF animation decodes to its first frame.
         if fourcc == b"ANMF":
-            raise DecodeError("animated WebP is a declared seam")
-        pos += 8 + ln + (ln & 1)
+            return decode_webp_anim(payload)[0]
     raise DecodeError("WebP RIFF carries no VP8L/VP8 chunk")
 
 
@@ -914,3 +993,52 @@ def encode_webp_lossless(img: np.ndarray, *, subtract_green: bool = True,
         chunk += b"\x00"
     riff = b"WEBP" + chunk
     return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+def encode_webp_anim(frames: list, *, offsets: list | None = None,
+                     dispose: list | None = None,
+                     canvas: tuple | None = None,
+                     bg: tuple = (255, 255, 255),
+                     duration_ms: int = 40, lossy: bool = False) -> bytes:
+    """Animated WebP encoder (round 6): VP8X(+ANIM flag) + ANIM + one
+    ANMF per frame, each frame a VP8L (or lossy VP8) still placed at
+    ``offsets[k]`` (even (x, y) pixels — the container stores them /2)
+    with optional dispose-to-background. Round trip:
+    ``decode_webp_anim(encode_webp_anim(frames))`` reproduces the
+    composited canvases exactly for the lossless default."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    offsets = offsets or [(0, 0)] * len(frames)
+    dispose = dispose or [0] * len(frames)
+    if canvas is None:
+        cw = max(off[0] + f.shape[1] for off, f in zip(offsets, frames))
+        ch = max(off[1] + f.shape[0] for off, f in zip(offsets, frames))
+    else:
+        cw, ch = canvas
+    def chunk(cc, body):
+        out = cc + len(body).to_bytes(4, "little") + body
+        if len(body) & 1:
+            out += b"\x00"
+        return out
+    vp8x = (bytes([0x02, 0, 0, 0])          # animation flag
+            + (cw - 1).to_bytes(3, "little")
+            + (ch - 1).to_bytes(3, "little"))
+    anim = bytes([bg[2], bg[1], bg[0], 255]) + (0).to_bytes(2, "little")
+    body = b"WEBP" + chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim)
+    for (fx, fy), disp, img in zip(offsets, dispose, frames):
+        if fx % 2 or fy % 2:
+            raise ValueError("ANMF offsets must be even (stored /2)")
+        if lossy:
+            from .vp8 import encode_vp8
+            sub = chunk(b"VP8 ", encode_vp8(img, qi=12))
+        else:
+            still = encode_webp_lossless(img)
+            sub = still[12:]                 # its VP8L chunk (+pad)
+        anmf = ((fx // 2).to_bytes(3, "little")
+                + (fy // 2).to_bytes(3, "little")
+                + (img.shape[1] - 1).to_bytes(3, "little")
+                + (img.shape[0] - 1).to_bytes(3, "little")
+                + int(duration_ms).to_bytes(3, "little")
+                + bytes([1 if disp else 0]))
+        body += chunk(b"ANMF", anmf + sub)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body

@@ -409,7 +409,9 @@ def test_webp_vp8x_extended_still():
     body = b"WEBP" + vp8x + exif + vp8l_chunk
     payload = b"RIFF" + len(body).to_bytes(4, "little") + body
     assert (W.decode_webp(payload) == img).all()
-    # animation chunk before any VP8L → declared seam
+    # a MALFORMED animation chunk (too short for the 16-byte ANMF
+    # header) is a typed error, not a crash (round 6: well-formed
+    # animations decode — see test_webp_animation_*)
     anim = b"ANMF" + (4).to_bytes(4, "little") + b"\x00" * 4
     body2 = b"WEBP" + vp8x + anim + vp8l_chunk
     with pytest.raises(DecodeError):
@@ -494,3 +496,73 @@ def test_webp_near_distance_encoder_ab():
                                      near_distances=False)
     assert len(p_near) < len(p_plain)
     assert p_near != p_plain
+
+
+def test_webp_animation_compositing():
+    """ANMF round trip: encoder frames with offsets + dispose decode to
+    the exactly-composited canvases; decode_webp returns the first
+    composited frame; dispatch through decode_image works; lossy VP8
+    frames are accepted too."""
+    rng = np.random.default_rng(41)
+    f0 = rng.integers(0, 256, size=(10, 14, 3), dtype=np.uint8)
+    f1 = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    f2 = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    p = W.encode_webp_anim([f0, f1, f2],
+                           offsets=[(0, 0), (4, 2), (8, 4)],
+                           dispose=[0, 1, 0], bg=(10, 20, 30))
+    frames = W.decode_webp_anim(p)
+    c = np.zeros((10, 14, 3), np.uint8)
+    c[:] = (10, 20, 30)
+    c[0:10, 0:14] = f0
+    e0 = c.copy()
+    c[2:6, 4:10] = f1
+    e1 = c.copy()
+    c[2:6, 4:10] = (10, 20, 30)              # dispose after frame 1
+    c[4:10, 8:12] = f2
+    e2 = c.copy()
+    assert len(frames) == 3
+    assert (frames[0] == e0).all() and (frames[1] == e1).all() \
+        and (frames[2] == e2).all()
+    assert (W.decode_webp(p) == e0).all()
+    assert (decode_image(p) == e0).all()
+    # lossy VP8 frames inside ANMF decode as well
+    pl = W.encode_webp_anim([f0], lossy=True)
+    assert W.decode_webp_anim(pl)[0].shape == (10, 14, 3)
+
+
+def test_webp_animation_bounds_and_errors():
+    """Typed errors: ANMF before VP8X, frame exceeding canvas, frame
+    count bound, no-image frame."""
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = W.encode_webp_anim([img, img])
+    # strip the VP8X chunk: ANMF with no canvas
+    chunks = list(W._riff_chunks(good))
+    body = b"WEBP" + b"".join(
+        cc + len(b).to_bytes(4, "little") + b + (b"\x00" if len(b) & 1
+                                                 else b"")
+        for cc, b in chunks if cc != b"VP8X")
+    with pytest.raises(DecodeError, match="before VP8X"):
+        W.decode_webp_anim(b"RIFF" + len(body).to_bytes(4, "little")
+                           + body)
+    with pytest.raises(DecodeError, match="exceeds canvas"):
+        W.decode_webp_anim(W.encode_webp_anim(
+            [img], offsets=[(6, 6)], canvas=(8, 8)))
+    with pytest.raises(DecodeError, match="too many"):
+        W.decode_webp_anim(W.encode_webp_anim([img] * 5), max_frames=4)
+
+
+def test_webp_animation_frame_sampling():
+    """split_video_frames dispatches RIFF/WEBP to the ANMF decoder and
+    emits standalone PPM frames equal to the composited canvases."""
+    from rdf_rdfxml_spark.operators.multimodal import (
+        decode_ppm, split_video_frames,
+    )
+    rng = np.random.default_rng(43)
+    frames = [rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+              for _ in range(5)]
+    p = W.encode_webp_anim(frames)
+    out = split_video_frames(p)
+    assert len(out) == 5
+    want = W.decode_webp_anim(p)
+    for enc, w_ in zip(out, want):
+        assert (decode_ppm(enc) == w_).all()
