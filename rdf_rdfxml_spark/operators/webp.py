@@ -17,10 +17,12 @@ prediction, token decoding, loop filters; see that module's
 reconstructed-probability-table caveat). ANIMATION (ANMF) decodes too
 since round 6: `decode_webp_anim` composites frames (2x offsets,
 dispose-to-background, ANIM background color) with an encoder twin
-(`encode_webp_anim`); alpha is dropped by the suite convention, so the
-blend bit degenerates to overwrite (valid for opaque frames) — ALPH
-sub-chunk decode is the remaining alpha seam. Inter-coded VP8 frames
-stay the typed-error seam.
+(`encode_webp_anim`), and BLENDING is real per-pixel alpha blending —
+ALPH sub-chunks decode (raw + headerless-VP8L compression, all four
+alpha filters, encoder twin `encode_alph`) for lossy frames, and
+lossless frames blend via their VP8L A channel; the composited OUTPUT
+drops alpha per the suite convention. Inter-coded VP8 frames stay the
+typed-error seam.
 
 One offline caveat, stated rather than hidden: the 2-D near-distance
 table (LZ77 distance codes 1..120) is reconstructed from its definition
@@ -510,7 +512,13 @@ def decode_vp8l(data: bytes):
         raise DecodeError("unsupported VP8L version")
     if w * h > MAX_PIXELS:
         raise DecodeError("VP8L image exceeds pixel cap")
+    return _decode_vp8l_stream(br, w, h)
 
+
+def _decode_vp8l_stream(br: _LBitReader, w: int, h: int):
+    """Transform list + entropy image for KNOWN dims — shared by the
+    headed VP8L chunk and the HEADERLESS ALPH lossless mode (the ALPH
+    sub-chunk omits signature/dims; they come from the frame)."""
     transforms = []                          # applied inverse, LIFO
     seen = set()
     cur_w = w
@@ -577,6 +585,75 @@ def decode_vp8l(data: bytes):
     return argb
 
 
+def decode_alph(body: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk → (h, w) uint8 alpha plane (round 6). Header byte:
+    rsv(2) | preprocessing(2) | filtering(2) | compression(2), MSB
+    first. Compression 0 = raw w*h bytes; 1 = a HEADERLESS VP8L stream
+    of the frame's dims carrying alpha in the GREEN channel. Filters
+    (applied post-decompression, per §alpha filtering): 0 none,
+    1 horizontal (pred = left), 2 vertical (pred = above), 3 gradient
+    (pred = clip(left + above - above-left)); first pixel/row/column
+    edge rules use 0. Preprocessing (level reduction) is encoder-side
+    lossy — nothing to undo."""
+    if not body:
+        raise DecodeError("empty ALPH chunk")
+    hdr = body[0]
+    filt = (hdr >> 2) & 3
+    compression = hdr & 3
+    if compression == 0:
+        if len(body) - 1 < w * h:
+            raise DecodeError("raw ALPH plane truncated")
+        a = np.frombuffer(body[1:1 + w * h],
+                          dtype=np.uint8).reshape(h, w).copy()
+    elif compression == 1:
+        argb = _decode_vp8l_stream(_LBitReader(body, 1), w, h)
+        a = ((argb >> 8) & 0xFF).astype(np.uint8)
+    else:
+        raise DecodeError(f"reserved ALPH compression {compression}")
+    if filt:
+        out = a.astype(np.int32)
+        for y in range(h):
+            for x in range(w):
+                left = out[y, x - 1] if x else 0
+                up = out[y - 1, x] if y else 0
+                ul = out[y - 1, x - 1] if (x and y) else 0
+                if filt == 1:
+                    pred = left
+                elif filt == 2:
+                    pred = up
+                else:
+                    pred = min(255, max(0, left + up - ul))
+                out[y, x] = (out[y, x] + pred) & 0xFF
+        a = out.astype(np.uint8)
+    return a
+
+
+def encode_alph(alpha: np.ndarray, *, filt: int = 0) -> bytes:
+    """Alpha plane → ALPH chunk body (raw compression, optional
+    filter — the encoder subtracts the same predictor the decoder
+    adds)."""
+    h, w = alpha.shape
+    if filt:
+        src = alpha.astype(np.int32)
+        res = np.zeros_like(src)
+        for y in range(h):
+            for x in range(w):
+                left = src[y, x - 1] if x else 0
+                up = src[y - 1, x] if y else 0
+                ul = src[y - 1, x - 1] if (x and y) else 0
+                if filt == 1:
+                    pred = left
+                elif filt == 2:
+                    pred = up
+                else:
+                    pred = min(255, max(0, left + up - ul))
+                res[y, x] = (src[y, x] - pred) & 0xFF
+        plane = res.astype(np.uint8)
+    else:
+        plane = alpha
+    return bytes([(filt & 3) << 2]) + plane.tobytes()
+
+
 def _decode_still_chunk(fourcc: bytes, body: bytes) -> np.ndarray:
     if fourcc == b"VP8L":
         argb = decode_vp8l(body)
@@ -587,6 +664,26 @@ def _decode_still_chunk(fourcc: bytes, body: bytes) -> np.ndarray:
         return rgb
     from .vp8 import decode_vp8
     return decode_vp8(body)
+
+
+def _decode_still_rgba(fourcc: bytes, body: bytes,
+                       alph: bytes | None) -> tuple:
+    """(rgb, alpha-or-None): VP8L carries alpha in its A channel (a
+    present ALPH chunk is ignored per spec for lossless frames); lossy
+    VP8 takes alpha from the ALPH sub-chunk when present."""
+    if fourcc == b"VP8L":
+        argb = decode_vp8l(body)
+        rgb = np.zeros((*argb.shape, 3), dtype=np.uint8)
+        rgb[..., 0] = (argb >> 16) & 0xFF
+        rgb[..., 1] = (argb >> 8) & 0xFF
+        rgb[..., 2] = argb & 0xFF
+        a = ((argb >> 24) & 0xFF).astype(np.uint8)
+        return rgb, (None if (a == 255).all() else a)
+    from .vp8 import decode_vp8
+    rgb = decode_vp8(body)
+    if alph is not None:
+        return rgb, decode_alph(alph, rgb.shape[1], rgb.shape[0])
+    return rgb, None
 
 
 def _riff_chunks(payload: bytes):
@@ -647,12 +744,17 @@ def decode_webp_anim(payload: bytes, *, max_frames: int = 256) -> list:
             fh = int.from_bytes(body[9:12], "little") + 1
             flags = body[15]
             dispose_bg = flags & 1
-            img = None
+            no_blend = (flags >> 1) & 1
+            img = alpha = None
+            alph_body = None
             for sub_cc, sub_body in _riff_chunks(
                     b"RIFF" + (len(body) - 16 + 4).to_bytes(4, "little")
                     + b"WEBP" + body[16:]):
-                if sub_cc in (b"VP8L", b"VP8 "):
-                    img = _decode_still_chunk(sub_cc, sub_body)
+                if sub_cc == b"ALPH":
+                    alph_body = sub_body
+                elif sub_cc in (b"VP8L", b"VP8 "):
+                    img, alpha = _decode_still_rgba(sub_cc, sub_body,
+                                                    alph_body)
                     break
             if img is None:
                 raise DecodeError("ANMF frame carries no image chunk")
@@ -660,7 +762,17 @@ def decode_webp_anim(payload: bytes, *, max_frames: int = 256) -> list:
                 raise DecodeError("ANMF frame size mismatch")
             if fy + fh > canvas.shape[0] or fx + fw > canvas.shape[1]:
                 raise DecodeError("ANMF frame exceeds canvas")
-            canvas[fy:fy + fh, fx:fx + fw] = img
+            if alpha is not None and not no_blend:
+                # per-pixel alpha blend onto the canvas (round 6: real
+                # blending via ALPH / VP8L alpha; integer blend with
+                # round-half-up, pinned by the encoder round trip)
+                a = alpha.astype(np.uint32)[..., None]
+                dst = canvas[fy:fy + fh, fx:fx + fw].astype(np.uint32)
+                canvas[fy:fy + fh, fx:fx + fw] = (
+                    (a * img + (255 - a) * dst + 127) // 255
+                ).astype(np.uint8)
+            else:
+                canvas[fy:fy + fh, fx:fx + fw] = img
             frames.append(canvas.copy())
             if dispose_bg:
                 canvas[fy:fy + fh, fx:fx + fw] = bg
@@ -997,6 +1109,8 @@ def encode_webp_lossless(img: np.ndarray, *, subtract_green: bool = True,
 
 def encode_webp_anim(frames: list, *, offsets: list | None = None,
                      dispose: list | None = None,
+                     alphas: list | None = None,
+                     alph_filter: int = 0,
                      canvas: tuple | None = None,
                      bg: tuple = (255, 255, 255),
                      duration_ms: int = 40, lossy: bool = False) -> bytes:
@@ -1005,11 +1119,21 @@ def encode_webp_anim(frames: list, *, offsets: list | None = None,
     ``offsets[k]`` (even (x, y) pixels — the container stores them /2)
     with optional dispose-to-background. Round trip:
     ``decode_webp_anim(encode_webp_anim(frames))`` reproduces the
-    composited canvases exactly for the lossless default."""
+    composited canvases exactly for the lossless default.
+
+    ``alphas`` (round 6): optional per-frame (h, w) uint8 alpha planes
+    — emitted as ALPH sub-chunks (raw compression, ``alph_filter``
+    0-3) with the blend bit set to BLEND, so the decoder alpha-blends
+    the frame onto the canvas. Requires ``lossy=True`` (the container
+    spec ties ALPH to lossy frames; lossless frames carry alpha in the
+    VP8L A channel)."""
     if not frames:
         raise ValueError("need at least one frame")
+    if alphas is not None and not lossy:
+        raise ValueError("ALPH alpha planes require lossy frames")
     offsets = offsets or [(0, 0)] * len(frames)
     dispose = dispose or [0] * len(frames)
+    alphas = alphas or [None] * len(frames)
     if canvas is None:
         cw = max(off[0] + f.shape[1] for off, f in zip(offsets, frames))
         ch = max(off[1] + f.shape[0] for off, f in zip(offsets, frames))
@@ -1025,12 +1149,16 @@ def encode_webp_anim(frames: list, *, offsets: list | None = None,
             + (ch - 1).to_bytes(3, "little"))
     anim = bytes([bg[2], bg[1], bg[0], 255]) + (0).to_bytes(2, "little")
     body = b"WEBP" + chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim)
-    for (fx, fy), disp, img in zip(offsets, dispose, frames):
+    for (fx, fy), disp, img, al in zip(offsets, dispose, frames,
+                                       alphas):
         if fx % 2 or fy % 2:
             raise ValueError("ANMF offsets must be even (stored /2)")
         if lossy:
             from .vp8 import encode_vp8
-            sub = chunk(b"VP8 ", encode_vp8(img, qi=12))
+            sub = b""
+            if al is not None:
+                sub += chunk(b"ALPH", encode_alph(al, filt=alph_filter))
+            sub += chunk(b"VP8 ", encode_vp8(img, qi=12))
         else:
             still = encode_webp_lossless(img)
             sub = still[12:]                 # its VP8L chunk (+pad)

@@ -566,3 +566,82 @@ def test_webp_animation_frame_sampling():
     want = W.decode_webp_anim(p)
     for enc, w_ in zip(out, want):
         assert (decode_ppm(enc) == w_).all()
+
+
+def test_webp_alph_roundtrip_all_filters():
+    """ALPH plane round trips through raw compression with every
+    filter (none/horizontal/vertical/gradient), and the HEADERLESS
+    VP8L-compressed mode (alpha in the green channel) decodes."""
+    rng = np.random.default_rng(47)
+    a = rng.integers(0, 256, size=(9, 13), dtype=np.uint8)
+    for filt in range(4):
+        assert (W.decode_alph(W.encode_alph(a, filt=filt), 13, 9)
+                == a).all(), filt
+    bw = W._LBitWriter()
+    bw.write(0, 1)                           # end of transforms
+    W._write_entropy_image(
+        bw, (np.uint32(255) << 24) | (a.astype(np.uint32) << 8),
+        level0=True)
+    assert (W.decode_alph(bytes([0x01]) + bw.finish(), 13, 9) == a).all()
+    with pytest.raises(DecodeError, match="reserved ALPH"):
+        W.decode_alph(bytes([0x03]) + b"\x00" * 117, 13, 9)
+    with pytest.raises(DecodeError, match="truncated"):
+        W.decode_alph(bytes([0x00]) + b"\x00" * 10, 13, 9)
+
+
+def test_webp_anim_alpha_blend():
+    """ANMF blending is real (round 6): a lossy frame with a
+    half-transparent ALPH plane blends onto the canvas with the
+    integer (a*src + (255-a)*dst + 127)/255 rule; an opaque frame
+    still overwrites."""
+    base = np.full((8, 8, 3), 200, dtype=np.uint8)
+    over = np.full((8, 8, 3), 40, dtype=np.uint8)
+    al = np.full((8, 8), 128, dtype=np.uint8)
+    p = W.encode_webp_anim([base, over], alphas=[None, al], lossy=True,
+                           bg=(0, 0, 0))
+    f = W.decode_webp_anim(p)
+    # lossy frames: the blend result sits midway between the decoded
+    # base and overlay (both near-flat, so means suffice)
+    assert abs(float(f[1].mean())
+               - (0.5 * float(f[0].mean()) + 0.5 * 40)) < 8
+    # alpha planes require lossy frames (spec ties ALPH to lossy)
+    with pytest.raises(ValueError, match="lossy"):
+        W.encode_webp_anim([base], alphas=[al])
+
+
+def test_webp_anim_vp8l_internal_alpha():
+    """A VP8L frame's OWN alpha channel drives blending: hand-build a
+    1-frame ANMF whose VP8L pixels carry A=100 over a known canvas."""
+    # VP8L chunk: 4x2, constant ARGB (A=100, R=10, G=250, B=30)
+    bw = W._LBitWriter()
+    bw.write(3, 14)                          # w-1
+    bw.write(1, 14)                          # h-1
+    bw.write(1, 1)                           # alpha hint
+    bw.write(0, 3)                           # version
+    bw.write(0, 1)                           # end of transforms
+    W._write_entropy_image(
+        bw, np.full((2, 4), (100 << 24) | (10 << 16) | (250 << 8) | 30,
+                    dtype=np.uint32), level0=True)
+    vp8l = bytes([0x2F]) + bw.finish()
+    chunk = b"VP8L" + len(vp8l).to_bytes(4, "little") + vp8l
+    if len(vp8l) & 1:
+        chunk += b"\x00"
+    vp8x = (b"VP8X" + (10).to_bytes(4, "little") + bytes([0x02, 0, 0, 0])
+            + (3).to_bytes(3, "little") + (1).to_bytes(3, "little"))
+    anim = (b"ANIM" + (6).to_bytes(4, "little")
+            + bytes([200, 150, 100, 255]) + (0).to_bytes(2, "little"))
+    anmf_hdr = ((0).to_bytes(3, "little") + (0).to_bytes(3, "little")
+                + (3).to_bytes(3, "little") + (1).to_bytes(3, "little")
+                + (40).to_bytes(3, "little") + bytes([0]))  # blend on
+    anmf_body = anmf_hdr + chunk
+    anmf = b"ANMF" + len(anmf_body).to_bytes(4, "little") + anmf_body
+    if len(anmf_body) & 1:
+        anmf += b"\x00"
+    body = b"WEBP" + vp8x + anim + anmf
+    p = b"RIFF" + len(body).to_bytes(4, "little") + body
+    f = W.decode_webp_anim(p)[0]
+    # canvas bg (BGRA 200,150,100 -> RGB 100,150,200), blended at A=100
+    bg = np.array([100, 150, 200], dtype=np.uint32)
+    src = np.array([10, 250, 30], dtype=np.uint32)
+    want = ((100 * src + 155 * bg + 127) // 255).astype(np.uint8)
+    assert (f == want).all()
