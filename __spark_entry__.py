@@ -1108,6 +1108,21 @@ def q_audio_neardup(spark, sf_dir):
     return audio_neardup_candidates(media)
 
 
+def q_video_neardup(spark, sf_dir):
+    # Video near-dup (round 7 — the last modality gap): per-frame dHash
+    # through the REAL frame-splitting path (PPM-seq / baseline MJPEG /
+    # animated-WebP re-encodes of the same footage, so candidates span
+    # byte-disjoint AND pixel-approximate payloads) → per-video
+    # bit-majority signature → the capped Hamming-LSH banding shared
+    # with images/audio/text. Near-dup dedup now covers every modality
+    # the engine decodes.
+    from rdf_rdfxml_spark.operators.multimodal import (
+        synth_neardup_video, video_neardup_candidates,
+    )
+    media = synth_neardup_video(spark, 24).repartition(8)
+    return video_neardup_candidates(media)
+
+
 def q_training_corpus_stats(spark, sf_dir):
     # The end-to-end curation pipeline an LLM data job runs, as one query:
     # exact dedup (keep min doc_id per content hash) → near-dup removal
@@ -1302,7 +1317,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "vocab_stats": q_vocab_stats,
         "text_quality": q_text_quality,
-        "lang_id_trigram": q_lang_id_trigram,
+        # round-7 rotation (COVERAGE.md §2.5): image_neardup_candidates
+        # takes lang_id_trigram's seat (training_corpus_stats partially
+        # subsumes lang-id; the displaced entry stays swept in extras)
+        "image_neardup_candidates": q_image_neardup,
         "doc_winnowing": q_doc_winnowing,
         "training_corpus_stats": q_training_corpus_stats,
         "audio_features": q_audio_features,
@@ -1336,14 +1354,17 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-identical salted self-join (round 5; shares the
         # kg_two_hop oracle — salting never changes the result)
         "kg_two_hop_salted": q_kg_two_hop_salted,
-        # perceptual image near-dup (round 6) — first in line for a gate
-        # seat per the COVERAGE.md rotation policy
-        "image_neardup_candidates": q_image_neardup,
+        # displaced by image_neardup_candidates in the round-7 rotation
+        # (COVERAGE.md §2.5); training_corpus_stats carries a lang-id
+        # stage, so the semantics stay partially gated too
+        "lang_id_trigram": q_lang_id_trigram,
         # salted ITERATIVE paths (round 6) — share the unsalted oracles
         "kg_pagerank_salted": q_kg_pagerank_salted,
         "dedup_components_salted": q_dedup_components_salted,
         # audio near-dup (round 6) — the third dedup modality
         "audio_neardup_candidates": q_audio_neardup,
+        # video near-dup (round 7) — the last decoded modality
+        "video_neardup_candidates": q_video_neardup,
     }
 
 
@@ -1835,4 +1856,8 @@ def _all_oracle_sql() -> dict[str, str]:
         audio_neardup_oracle_sql,
     )
     oracles["audio_neardup_candidates"] = audio_neardup_oracle_sql(36)
+    from rdf_rdfxml_spark.operators.multimodal import (
+        video_neardup_oracle_sql,
+    )
+    oracles["video_neardup_candidates"] = video_neardup_oracle_sql(24)
     return oracles

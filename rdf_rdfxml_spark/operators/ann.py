@@ -322,14 +322,30 @@ def _dedup_from_assign(emb: DataFrame, assign: DataFrame,
             norms[norms == 0] = 1.0
             u = vm / norms[:, None]
             q = np.round(127.0 * u).astype(np.int32)
-            s = q @ q.T
             d = vm.shape[1]
             eps = np.sqrt(d) / 127.0 + d / 64516.0
             cut = 16129.0 * (thr - eps)
-            iu, ju = np.triu_indices(n, 1)
-            keep = s[iu, ju] >= cut
-            a = ids[iu[keep]]
-            b = ids[ju[keep]]
+            # Hot-cell memory guard (round-6 ADVICE): a degenerate cell
+            # (collapsed centroids funneling most vectors into one
+            # group) would OOM the Python worker materializing one nxn
+            # int32 matrix. Row-blocked matmul caps the resident
+            # similarity block at ~2^25 entries (~128 MB) whatever the
+            # cell size; for normal cells (n <= ~5.7k) it is the same
+            # single full matmul as before, and the kept-pair set is
+            # identical by construction in every case.
+            blk = max(1, (1 << 25) // n)
+            cols = np.arange(n)
+            out_a, out_b = [], []
+            for i0 in range(0, n, blk):
+                i1 = min(n, i0 + blk)
+                s_blk = q[i0:i1] @ q.T
+                mask = ((s_blk >= cut)
+                        & (cols[None, :] > np.arange(i0, i1)[:, None]))
+                ri, ci = np.nonzero(mask)
+                out_a.append(ids[ri + i0])
+                out_b.append(ids[ci])
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
             lo = np.minimum(a, b)
             hi = np.maximum(a, b)
             return pd.DataFrame({"a": lo, "b": hi})

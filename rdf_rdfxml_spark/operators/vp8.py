@@ -31,12 +31,17 @@ table): the three large probability tables — ``DEFAULT_COEF_PROBS``
 (4x8x3x11), ``COEF_UPDATE_PROBS`` (4x8x3x11) and ``KF_BMODE_PROBS``
 (10x10x9) — are reconstructed offline from the author's knowledge of
 RFC 6386 §13.5 / §11.5 and may contain entry-level deviations from the
-published tables. Probability-table deviations can NEVER desync or
-crash the range decoder (probabilities only bias symbol likelihoods);
-for streams produced by THIS encoder the tables are shared so decoding
-is exact by construction, but an EXTERNAL lossy WebP file could decode
-with wrong symbol values where an entry deviates. Byte-verify against
-RFC 6386 when network exists — a drop-in table swap. Everything
+published tables. For streams produced by THIS encoder the tables are
+shared so decoding is exact by construction (pytest-pinned). For
+EXTERNAL lossy WebP files a deviating entry is worse than a symbol
+bias: a bool decoded under the wrong probability can flip its VALUE,
+and because header/mode syntax is data-dependent (e.g. a coefficient-
+probability update flag decoded as 1 consumes an extra 8-bit literal),
+a flipped bit can DESYNC the parse entirely — mis-parsed headers,
+garbage macroblocks, or a DecodeError, not merely biased pixels.
+External-file decoding is therefore best-effort until the tables are
+byte-verified against RFC 6386 (a drop-in swap when network exists;
+the existing round-trip tests are the regression net). Everything
 structural (trees, bands, zigzag, transforms, filters, quantizer
 tables, bitstream layout) follows the spec text directly.
 

@@ -592,9 +592,13 @@ def decode_alph(body: bytes, w: int, h: int) -> np.ndarray:
     of the frame's dims carrying alpha in the GREEN channel. Filters
     (applied post-decompression, per §alpha filtering): 0 none,
     1 horizontal (pred = left), 2 vertical (pred = above), 3 gradient
-    (pred = clip(left + above - above-left)); first pixel/row/column
-    edge rules use 0. Preprocessing (level reduction) is encoder-side
-    lossy — nothing to undo."""
+    (pred = clip(left + above - above-left)). Edge rules per the
+    container spec: only (0,0) predicts from 0; the horizontal filter
+    predicts (0, y>0) from the pixel ABOVE, the vertical filter
+    predicts (x>0, 0) from the pixel to the LEFT, and the gradient
+    filter degenerates to those same rules on the edges (missing
+    neighbors read as 0 only via the clip identity). Preprocessing
+    (level reduction) is encoder-side lossy — nothing to undo."""
     if not body:
         raise DecodeError("empty ALPH chunk")
     hdr = body[0]
@@ -617,10 +621,16 @@ def decode_alph(body: bytes, w: int, h: int) -> np.ndarray:
                 left = out[y, x - 1] if x else 0
                 up = out[y - 1, x] if y else 0
                 ul = out[y - 1, x - 1] if (x and y) else 0
-                if filt == 1:
-                    pred = left
-                elif filt == 2:
-                    pred = up
+                if filt == 1:                # horizontal: left, but the
+                    if x == 0 and y > 0:     # row-start predicts ABOVE
+                        pred = out[y - 1, 0]
+                    else:
+                        pred = left
+                elif filt == 2:              # vertical: above, but the
+                    if y == 0 and x > 0:     # top row predicts LEFT
+                        pred = out[0, x - 1]
+                    else:
+                        pred = up
                 else:
                     pred = min(255, max(0, left + up - ul))
                 out[y, x] = (out[y, x] + pred) & 0xFF
@@ -641,10 +651,16 @@ def encode_alph(alpha: np.ndarray, *, filt: int = 0) -> bytes:
                 left = src[y, x - 1] if x else 0
                 up = src[y - 1, x] if y else 0
                 ul = src[y - 1, x - 1] if (x and y) else 0
-                if filt == 1:
-                    pred = left
+                if filt == 1:                # mirror decode_alph's spec
+                    if x == 0 and y > 0:     # edge rules exactly
+                        pred = src[y - 1, 0]
+                    else:
+                        pred = left
                 elif filt == 2:
-                    pred = up
+                    if y == 0 and x > 0:
+                        pred = src[0, x - 1]
+                    else:
+                        pred = up
                 else:
                     pred = min(255, max(0, left + up - ul))
                 res[y, x] = (src[y, x] - pred) & 0xFF
@@ -706,12 +722,14 @@ def _riff_chunks(payload: bytes):
 def decode_webp_anim(payload: bytes, *, max_frames: int = 256) -> list:
     """Animated WebP (VP8X + ANIM + ANMF, round 6) → list of composited
     full-canvas HxWx3 uint8 frames. Frame sub-payloads are VP8L or
-    lossy VP8 stills (ALPH sub-chunks skipped — alpha is dropped by the
-    suite convention, so the blend bit degenerates to overwrite, which
-    the container spec permits for opaque frames); placement honors the
-    2x frame offsets, and the dispose-to-background bit fills the
-    frame's rect with the ANIM background color (alpha-dropped → its
-    RGB) before the NEXT frame renders."""
+    lossy VP8 stills; since commit 796b24b ALPH sub-chunks are DECODED
+    (raw + headerless-VP8L, all four alpha filters) and VP8L's own A
+    channel is honored, so a clear blend bit performs real per-pixel
+    alpha blending onto the canvas (no_blend = overwrite). Placement
+    honors the 2x frame offsets, and the dispose-to-background bit
+    fills the frame's rect with the ANIM background color's RGB before
+    the NEXT frame renders. The composited OUTPUT frames stay HxWx3
+    (the suite's RGB convention — canvas alpha is not tracked)."""
     canvas = None
     bg = (255, 255, 255)
     frames = []

@@ -589,6 +589,38 @@ def test_webp_alph_roundtrip_all_filters():
         W.decode_alph(bytes([0x00]) + b"\x00" * 10, 13, 9)
 
 
+def test_webp_alph_filter_edge_rules_spec_vectors():
+    """Container-spec edge rules for ALPH filters 1/2 (round-7 ADVICE
+    fix): only (0,0) predicts from 0 — the horizontal filter predicts
+    each row-start (0, y>0) from the pixel ABOVE and the vertical
+    filter predicts the top row (x>0, 0) from the pixel to the LEFT.
+    Hand-computed 3x3 reconstructions (external-file semantics, not
+    just an encode/decode mirror)."""
+    res = np.arange(1, 10, dtype=np.uint8).reshape(3, 3)  # residuals
+    # horizontal: out[y][0] = res + out[y-1][0]; out[y][x] = res + left
+    hdr1 = bytes([0x01 << 2])                # filt=1, raw compression
+    out1 = W.decode_alph(hdr1 + res.tobytes(), 3, 3).astype(int)
+    want1 = np.zeros((3, 3), dtype=int)
+    for y in range(3):
+        for x in range(3):
+            pred = (0 if (x == 0 and y == 0)
+                    else want1[y - 1, 0] if x == 0
+                    else want1[y, x - 1])
+            want1[y, x] = (int(res[y, x]) + pred) & 0xFF
+    assert (out1 == want1).all()
+    # vertical: out[0][x] = res + out[0][x-1]; out[y][x] = res + above
+    hdr2 = bytes([0x02 << 2])
+    out2 = W.decode_alph(hdr2 + res.tobytes(), 3, 3).astype(int)
+    want2 = np.zeros((3, 3), dtype=int)
+    for y in range(3):
+        for x in range(3):
+            pred = (0 if (x == 0 and y == 0)
+                    else want2[0, x - 1] if y == 0
+                    else want2[y - 1, x])
+            want2[y, x] = (int(res[y, x]) + pred) & 0xFF
+    assert (out2 == want2).all()
+
+
 def test_webp_anim_alpha_blend():
     """ANMF blending is real (round 6): a lossy frame with a
     half-transparent ALPH plane blends onto the canvas with the

@@ -72,8 +72,11 @@ def main():
     json_out = None
     if "--json" in args:                     # position-independent: a
         i = args.index("--json")             # trailing --json used to be
-        json_out = args[i + 1]               # swallowed as a query
-        args = args[:i] + args[i + 2:]       # filter (vacuous ALL-PASS)
+        if i + 1 >= len(args):               # swallowed as a query
+            sys.exit("usage: check_oracles.py [sf_dir] [query ...] "
+                     "[--json OUT.json]  (--json requires a path)")
+        json_out = args[i + 1]               # filter (vacuous ALL-PASS)
+        args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     assert not any(a.startswith("-") for a in only), only
