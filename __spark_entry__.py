@@ -1207,6 +1207,98 @@ def _training_corpus_oracle() -> str:
            CAST((SELECT COUNT(*) FROM k4) AS BIGINT) AS n_final"""
 
 
+def q_multimodal_corpus_stats(spark, sf_dir):
+    # Round-7 VERDICT #5: the multimodal twin of training_corpus_stats —
+    # the "curate a multimodal training corpus" pipeline as ONE query.
+    # Text stages (input count, exact dedup) run over the documents
+    # table; each decoded modality (image / audio / video) then runs its
+    # near-dup candidate pass (capped Hamming-LSH over real-decode
+    # signatures) → connected components → keep the canonical (min-id)
+    # member per duplicate group. Output: one row of per-stage survivor
+    # counts. The oracle composes the per-modality pair SQL twins with
+    # the same recursive-component replay as the training oracle.
+    #
+    # Scale shape: every stage is an already-audited operator (the
+    # decode passes are partition-local mapInArrow; the only shuffles
+    # are n_bands fixed-width rows per item and the component
+    # propagation); counts are driver ints so the composed result is a
+    # constant row, like training_corpus_stats.
+    from rdf_rdfxml_spark.operators.graph import connected_components
+    from rdf_rdfxml_spark.operators.multimodal import (
+        audio_neardup_candidates, image_neardup_candidates,
+        synth_neardup_audio, synth_neardup_media, synth_neardup_video,
+        video_neardup_candidates,
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    n_docs = docs.count()
+    n_docs_exact = (docs.groupBy(F.md5("text").alias("h"))
+                    .agg(F.min("doc_id")).count())
+
+    def kept(media, cand_fn, n_items):
+        # survivors = items minus non-canonical component members
+        # (media ids are fixed-width, so MIN over strings == numeric
+        # min — the same canonical rule the oracle replays)
+        cc = connected_components(cand_fn(media).select("a", "b"))
+        return n_items - cc.filter("node != component").count()
+
+    imgs = synth_neardup_media(spark, 48).repartition(8)
+    n_img_kept = kept(imgs, image_neardup_candidates, 48)
+    auds = synth_neardup_audio(spark, 36).repartition(8)
+    n_aud_kept = kept(auds, audio_neardup_candidates, 36)
+    vids = synth_neardup_video(spark, 24).repartition(8)
+    n_vid_kept = kept(vids, video_neardup_candidates, 24)
+    return spark.createDataFrame(
+        [(n_docs, n_docs_exact, 48, n_img_kept, 36, n_aud_kept,
+          24, n_vid_kept)],
+        "n_docs long, n_docs_after_exact long, "
+        "n_images long, n_images_kept long, "
+        "n_audio long, n_audio_kept long, "
+        "n_video long, n_video_kept long")
+
+
+def _multimodal_corpus_oracle() -> str:
+    """Composed DuckDB twin of q_multimodal_corpus_stats: per-modality
+    candidate pairs via the SAME oracle builders the individual gates
+    use, components via the training oracle's recursive-reach replay,
+    canonical-member survivor counts, text stages over documents."""
+    from rdf_rdfxml_spark.operators.multimodal import (
+        audio_neardup_oracle_sql, image_neardup_oracle_sql,
+        video_neardup_oracle_sql,
+    )
+    parts = []
+    for tag, sql, n in (("i", image_neardup_oracle_sql(48), 48),
+                        ("a", audio_neardup_oracle_sql(36), 36),
+                        ("v", video_neardup_oracle_sql(24), 24)):
+        parts.append(f"""
+    {tag}pairs AS (SELECT a, b FROM ({sql}) t),
+    {tag}sym AS (SELECT a AS src, b AS dst FROM {tag}pairs
+             UNION SELECT b, a FROM {tag}pairs),
+    {tag}reach(node, lbl) AS (
+      SELECT src, src FROM {tag}sym
+      UNION
+      SELECT s.dst, r.lbl FROM {tag}reach r
+      JOIN {tag}sym s ON s.src = r.node),
+    {tag}noncanon AS (
+      SELECT node FROM (SELECT node, MIN(lbl) AS component
+                        FROM {tag}reach GROUP BY node)
+      WHERE node != component)""")
+    ctes = ",".join(parts)
+    return f"""
+    WITH RECURSIVE {ctes}
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(DISTINCT md5(text)) FROM documents)
+                AS BIGINT) AS n_docs_after_exact,
+           CAST(48 AS BIGINT) AS n_images,
+           CAST(48 - (SELECT COUNT(*) FROM inoncanon) AS BIGINT)
+             AS n_images_kept,
+           CAST(36 AS BIGINT) AS n_audio,
+           CAST(36 - (SELECT COUNT(*) FROM anoncanon) AS BIGINT)
+             AS n_audio_kept,
+           CAST(24 AS BIGINT) AS n_video,
+           CAST(24 - (SELECT COUNT(*) FROM vnoncanon) AS BIGINT)
+             AS n_video_kept"""
+
+
 def q_video_frame_sample(spark, sf_dir):
     # Frame sampling over the synthetic PPM-sequence 'video' container
     # (compressed video needs codecs this container lacks; the container
@@ -1365,6 +1457,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup_candidates": q_audio_neardup,
         # video near-dup (round 7) — the last decoded modality
         "video_neardup_candidates": q_video_neardup,
+        # composed multimodal curation pipeline (round 7) — text exact
+        # dedup + image/audio/video near-dup survivor counts in one row
+        "multimodal_corpus_stats": q_multimodal_corpus_stats,
     }
 
 
@@ -1860,4 +1955,5 @@ def _all_oracle_sql() -> dict[str, str]:
         video_neardup_oracle_sql,
     )
     oracles["video_neardup_candidates"] = video_neardup_oracle_sql(24)
+    oracles["multimodal_corpus_stats"] = _multimodal_corpus_oracle()
     return oracles

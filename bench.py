@@ -41,35 +41,42 @@ def _code_state() -> str:
     return h.hexdigest()[:16]
 
 
-def _windows_path() -> str:
+def _windows_path(local: bool = False) -> str:
+    name = "bench_windows_local.json" if local else "bench_windows.json"
     return os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "perf_data", "bench_windows.json")
+                        "perf_data", name)
 
 
 def _load_windows(code_state: str) -> list:
-    """Committed quiet-window results for THIS code state (others are
-    stale by construction and ignored)."""
-    try:
-        with open(_windows_path()) as fh:
-            return [w for w in json.load(fh)
-                    if w.get("code_state") == code_state]
-    except Exception:
-        return []
+    """Quiet-window results for THIS code state (others are stale by
+    construction and ignored), from BOTH ledgers: the committed one
+    (quiet windows recorded as a round's last step) and the gitignored
+    local one (driver/bench runs append there so a driver bench run
+    never dirties the tree — round-6 verdict "What's wrong" #3)."""
+    out = []
+    for local in (False, True):
+        try:
+            with open(_windows_path(local)) as fh:
+                out.extend(w for w in json.load(fh)
+                           if w.get("code_state") == code_state)
+        except Exception:
+            pass
+    return out
 
 
 def _append_window(entry: dict):
-    """Best-effort append of this run to the window ledger (committed
-    per round; the driver's own run merges against the committed quiet
-    windows and contributes its window for the next round)."""
+    """Best-effort append of this run to the LOCAL (gitignored) window
+    ledger; promotion into the committed ledger is a deliberate
+    round-end step (CLAUDE.md), never a side effect of running bench."""
     try:
         try:
-            with open(_windows_path()) as fh:
+            with open(_windows_path(local=True)) as fh:
                 all_w = json.load(fh)
         except Exception:
             all_w = []
         all_w.append(entry)
         # keep the ledger bounded: only the 12 most recent entries
-        with open(_windows_path(), "w") as fh:
+        with open(_windows_path(local=True), "w") as fh:
             json.dump(all_w[-12:], fh, indent=1)
     except Exception as e:
         print(f"[bench] window ledger append failed: {e}",
