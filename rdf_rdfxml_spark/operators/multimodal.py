@@ -1218,6 +1218,11 @@ def decode_gif(payload: bytes) -> np.ndarray:
 
 DHASH_BITS = 48                              # 6x9 grid -> 6x8 comparisons
 
+#: At most one persisted near-dup signature table is resident at a time;
+#: freed on the next _hamming_lsh_pairs call (linking.py's bounded-cache
+#: pattern — ReuseExchange does not fire across the join's consumers).
+_SIG_CACHE: list = []
+
 
 def dhash48(img: np.ndarray) -> int:
     """48-bit dHash of an (h, w, 3) uint8 image: grayscale block means on
@@ -1357,8 +1362,20 @@ def _hamming_lsh_pairs(sig: DataFrame, hash_col: str, bits: int, *,
     same as sketch.minhash_candidates' ``max_bucket``): the dropped
     clusters are identical-signature mobs that the cheaper
     ``dedup_exact`` equality pass collapses first. ``None`` = no cap.
-    Use :func:`hamming_band_bucket_stats` for dropped-bucket counters."""
+    Use :func:`hamming_band_bucket_stats` for dropped-bucket counters.
+
+    The signature input is PERSISTED for the duration of the join
+    (bounded cache, linking.py's pattern — freed on the next call):
+    the physical plan otherwise recomputes the upstream mapInArrow
+    DECODE stage once per consumer (left side, right side, and both
+    cap aggregates = 4×), and for media the decode IS the dominant
+    cost. The cached rows are fixed-width (media_id, hash) — model-
+    sized relative to the payloads they replace."""
     assert bits % n_bands == 0 and radius <= n_bands - 1
+    while _SIG_CACHE:
+        _SIG_CACHE.pop().unpersist()
+    sig = sig.persist()
+    _SIG_CACHE.append(sig)
     width = bits // n_bands
     bands = sig.selectExpr(
         "media_id",

@@ -124,6 +124,27 @@ def main():
     emb = load_embeddings(spark, sf_dir)
     _dedup_from_assign(emb, ivf_assign(emb, n_cells=8, nprobe=4),
                        0.4).explain("formatted")
+
+    print("=" * 72)
+    print("11. capped Hamming-LSH band join (round 7) — the mega-bucket "
+          "guard adds ONE aggregate on the already-shuffled band rows + "
+          "a LeftSemi prune before the self-join; no new exchange of "
+          "signatures, and a degenerate bucket never reaches the join")
+    print("=" * 72)
+    image_neardup_candidates(
+        synth_neardup_media(spark, 48), max_bucket=100) \
+        .explain("formatted")
+
+    print("=" * 72)
+    print("12. video near-dup (round 7) — frame split + per-frame dHash "
+          "+ bit-majority signature in ONE mapInArrow stage (pixels "
+          "never shuffle); downstream is the same capped band join")
+    print("=" * 72)
+    from rdf_rdfxml_spark.operators.multimodal import (
+        synth_neardup_video, video_neardup_candidates,
+    )
+    video_neardup_candidates(
+        synth_neardup_video(spark, 24)).explain("formatted")
     spark.stop()
 
 
