@@ -49,6 +49,24 @@ MINHASH_P = 4294967311  # prime > 2^32
 
 SIMHASH_BITS = 48
 
+#: Bounded signature-table cache (linking.py's pattern): the candidate
+#: joins consume their signature/band stage 2-4× (left side, right side,
+#: and the mega-bucket aggregates) and ReuseExchange does not fire across
+#: the rename projections, so without a persist the document-local
+#: mapInArrow SIGNATURE pass — the dominant cost — recomputes per
+#: consumer (measured 4.8 s → 2.7 s on the sf0.1 minhash band join).
+#: Freed at the next candidate-operator call; at most the handles of one
+#: composed query stay resident.
+_SKETCH_CACHE: list = []
+
+
+def _cache_reset_and_persist(df: DataFrame) -> DataFrame:
+    while _SKETCH_CACHE:
+        _SKETCH_CACHE.pop().unpersist()
+    df = df.persist()
+    _SKETCH_CACHE.append(df)
+    return df
+
 # The DuckDB oracles explode shingle positions with a constant
 # generate_series bound (DuckDB rejects both lateral column args and scalar
 # subqueries there). The Spark operators are unbounded, so a document longer
@@ -160,8 +178,12 @@ def minhash_candidates(docs: DataFrame, *, max_bucket: int | None = None,
     ``dedup_exact`` should collapse first. Buckets above the cap are
     excluded (standard LSH practice); the excluded clusters are exactly
     the ones a cheaper equality pass already catches. ``None`` = no cap
-    (corpus already exact-deduped)."""
-    bands = minhash_bands(docs, **kw)
+    (corpus already exact-deduped).
+
+    The band table is persisted for the join's duration (bounded cache,
+    see ``_SKETCH_CACHE``) so the signature mapInArrow pass runs once,
+    not once per join side."""
+    bands = _cache_reset_and_persist(minhash_bands(docs, **kw))
     if max_bucket is not None:
         sizes = (bands.groupBy("band_id", "band_hash")
                  .count().filter(F.col("count") <= max_bucket)
@@ -504,7 +526,9 @@ def simhash_candidates(docs: DataFrame, *, bits: int = SIMHASH_BITS,
     """
     assert bits % n_bands == 0
     width = bits // n_bands
-    sig = simhash(docs, bits=bits)
+    # persist the 1-row/doc signature (the explode to bands is a cheap
+    # column op; the tokenizing mapInArrow pass is what must run once)
+    sig = _cache_reset_and_persist(simhash(docs, bits=bits))
     bands = sig.selectExpr(
         "doc_id",
         f"explode(transform(sequence(0, {n_bands - 1}), b -> "
@@ -573,7 +597,8 @@ def containment_pairs(docs: DataFrame, *, k: int = 8, window: int = 4,
     contribute m²/2 pairs each — same mega-bucket control as minhash
     LSH; ``None`` disables, the cap is a declared coverage bound).
     """
-    fps = winnow_fingerprints(docs, k=k, window=window)
+    fps = _cache_reset_and_persist(
+        winnow_fingerprints(docs, k=k, window=window))
     if max_fp_bucket is not None:
         ok = (fps.groupBy("fp").count()
               .filter(F.col("count") <= max_fp_bucket).select("fp"))
