@@ -269,3 +269,29 @@ def test_int8_prefilter_identity(spark):
     want = sorted(tuple(r) for r in
                   _dedup_from_assign(emb, two, 0.7, False).collect())
     assert got == want
+
+
+def test_int8_prefilter_hot_cell_chunked_identity(spark):
+    """Round-7 ADVICE gate: a pathological hot cell (every vector in ONE
+    IVF cell, n large enough that the row-blocked matmul takes multiple
+    blocks) must produce the identical pair set to the all-float join
+    path instead of materializing one n x n matrix. n=7000 > 2^25/7000
+    rows/block, so this drives >1 block; d=8 keeps it fast."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from rdf_rdfxml_spark.operators.ann import _dedup_from_assign
+    rng = np.random.default_rng(7)
+    n, d = 7000, 8
+    base = rng.normal(size=(n // 2, d))
+    # half the vectors are near-dup twins (tiny perturbation) so the
+    # threshold filter has real positives to find
+    twins = base + rng.normal(scale=0.01, size=base.shape)
+    vm = np.concatenate([base, twins])
+    rows = [(int(i), [float(x) for x in vm[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    assign = emb.withColumn("cell_id", F.lit(0))  # ONE degenerate cell
+    got = sorted(tuple(r) for r in
+                 _dedup_from_assign(emb, assign, 0.98, True).collect())
+    want = sorted(tuple(r) for r in
+                  _dedup_from_assign(emb, assign, 0.98, False).collect())
+    assert got == want and len(got) >= n // 4
