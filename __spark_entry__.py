@@ -873,6 +873,85 @@ def q_stream_neardup(spark, sf_dir):
                         "dup_of"))
 
 
+def q_stream_image_neardup(spark, sf_dir):
+    # Streaming IMAGE near-dup (round 7): decode + dHash + Hamming band
+    # split in ONE in-stream mapInArrow stage → the shared epoch-
+    # deterministic stateful flagger, driven MULTI-BATCH through one
+    # checkpoint exactly like the text twin (two availableNow rounds
+    # over a ts-ordered split, so cross-batch pairing + restart recovery
+    # are both under the oracle). Corpus: the synthetic near-dup media
+    # table (PPM/PNG/WebP-VP8L re-encodes) with ts monotone in the item
+    # index, so "bucket minimum by (ts, media_id)" = MIN(media_id) and
+    # the relational rule is SQL-expressible. State per live bucket is
+    # ONE (media_id, ts) pair; each arrival emits at most n_bands flags
+    # — no quadratic shape exists in this path, so it needs no
+    # mega-bucket cap (unlike the batch self-join).
+    from rdf_rdfxml_spark.operators.multimodal import synth_neardup_media
+    from rdf_rdfxml_spark.streaming.stream import (
+        stream_image_neardup_flags,
+    )
+    base = _scratch("stream_image_neardup")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    media = synth_neardup_media(spark, 48).selectExpr(
+        "media_id", "payload",
+        "timestamp_seconds(1700000000 + CAST(substring(media_id, 2) "
+        "AS INT)) AS ingested_at")
+    (media.filter("substring(media_id, 2) <= '0023'")
+     .repartition(4).write.parquet(in_dir))
+
+    def run_round():
+        stream = spark.readStream.schema(media.schema).parquet(in_dir)
+        q = (stream_image_neardup_flags(stream)
+             .writeStream.option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start(out_dir, format="parquet", outputMode="append"))
+        q.awaitTermination()
+
+    run_round()
+    (media.filter("substring(media_id, 2) > '0023'")
+     .repartition(4).write.mode("append").parquet(in_dir))
+    run_round()  # restart from checkpoint; picks up only the new files
+    return (spark.read.parquet(out_dir)
+            .selectExpr("media_id", "CAST(band_id AS INT) AS band_id",
+                        "dup_of"))
+
+
+def stream_image_neardup_oracle_sql(n: int = 48, n_base: int = 16, *,
+                                    n_bands: int = 4) -> str:
+    """DuckDB twin of the availableNow semantics of
+    q_stream_image_neardup: per (band_id, band_value) bucket, every
+    item except the bucket minimum, paired with that minimum (ts is
+    monotone in media_id, so min-by-(ts, id) = MIN(media_id)). Hashes
+    inlined through the same decode + dhash48 path as the batch image
+    oracle."""
+    from rdf_rdfxml_spark.operators.multimodal import (
+        DHASH_BITS, decode_image, dhash48, synth_neardup_media_item,
+    )
+    width = DHASH_BITS // n_bands
+    rows = []
+    for i in range(n):
+        media_id, _mime, payload = synth_neardup_media_item(i, n_base)
+        rows.append(f"('{media_id}', {dhash48(decode_image(payload))})")
+    values = ",\n      ".join(rows)
+    return f"""
+    WITH sig AS (SELECT * FROM (VALUES
+      {values}) AS t(media_id, dhash)),
+    bands AS (
+      SELECT media_id, CAST(b AS INTEGER) AS band_id,
+             (dhash >> CAST(b * {width} AS INTEGER)) % {2 ** width}
+               AS band_value
+      FROM sig, generate_series(0, {n_bands - 1}) AS g(b)),
+    firsts AS (
+      SELECT band_id, band_value, MIN(media_id) AS first_id
+      FROM bands GROUP BY band_id, band_value)
+    SELECT b.media_id, b.band_id, f.first_id AS dup_of
+    FROM bands b JOIN firsts f
+      ON f.band_id = b.band_id AND f.band_value = b.band_value
+    WHERE b.media_id != f.first_id"""
+
+
 def q_containment_pairs(spark, sf_dir):
     # Containment search (winnowing fingerprint intersection): catches
     # doc-inside-doc duplication that jaccard misses. Shuffles only
@@ -1460,6 +1539,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composed multimodal curation pipeline (round 7) — text exact
         # dedup + image/audio/video near-dup survivor counts in one row
         "multimodal_corpus_stats": q_multimodal_corpus_stats,
+        # streaming image near-dup (round 7) — the streaming x image
+        # cell of the dedup matrix, multi-batch through one checkpoint
+        "stream_image_neardup": q_stream_image_neardup,
     }
 
 
@@ -1956,4 +2038,5 @@ def _all_oracle_sql() -> dict[str, str]:
     )
     oracles["video_neardup_candidates"] = video_neardup_oracle_sql(24)
     oracles["multimodal_corpus_stats"] = _multimodal_corpus_oracle()
+    oracles["stream_image_neardup"] = stream_image_neardup_oracle_sql(48)
     return oracles

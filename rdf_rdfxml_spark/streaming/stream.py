@@ -116,9 +116,7 @@ def stream_neardup_flags(docs_stream: DataFrame, *,
     (a key that receives data in the same batch as its would-be timeout
     is handed its old state, not hasTimedOut).
     """
-    import pandas as pd
-
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
     from ..operators.sketch import minhash_bands
 
     bands = minhash_bands(
@@ -128,16 +126,36 @@ def stream_neardup_flags(docs_stream: DataFrame, *,
 
     state_schema = "first_doc long, first_ts long, last_ts long"
     out_schema = "doc_id long, band_id int, dup_of long"
+    update = _neardup_update_fn(horizon_seconds, ts_col, "doc_id", int)
 
-    def update(key, pdfs, state: GroupState):
+    return (bands.groupBy("band_id", "band_hash")
+            .applyInPandasWithState(
+                update, out_schema, state_schema, "append",
+                GroupStateTimeout.EventTimeTimeout))
+
+
+def _neardup_update_fn(horizon_seconds: int, ts_col: str, id_col: str,
+                       id_py):
+    """The shared per-bucket epoch state function for streaming near-dup
+    (text MinHash buckets AND media Hamming-band buckets): keep the
+    first id seen per bucket within the event-time horizon, flag later
+    arrivals, expire epochs EVENT-TIME-DETERMINISTICALLY (see
+    :func:`stream_neardup_flags`'s docstring for the full semantics).
+    ``id_py`` converts the pandas cell to the state's Python id type
+    (``int`` for doc ids, ``str`` for media ids — ordering within a
+    timestamp tie is the natural order of that type, mirrored by the
+    oracles' ``MIN``)."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
         band_id = int(key[0])
         if state.hasTimedOut:
             state.remove()
             return
         rows = []
         for pdf in pdfs:
-            for d, ts in zip(pdf["doc_id"], pdf[ts_col]):
-                rows.append((int(ts.timestamp()), int(d)))
+            for d, ts in zip(pdf[id_col], pdf[ts_col]):
+                rows.append((int(ts.timestamp()), id_py(d)))
         rows.sort()
         if state.exists:
             first_doc, first_ts, last_ts = state.get
@@ -162,9 +180,76 @@ def stream_neardup_flags(docs_stream: DataFrame, *,
                 state.getCurrentWatermarkMs() + 1))
         if flagged:
             yield pd.DataFrame(flagged,
-                               columns=["doc_id", "band_id", "dup_of"])
+                               columns=[id_col, "band_id", "dup_of"])
 
-    return (bands.groupBy("band_id", "band_hash")
+    return update
+
+
+def stream_image_neardup_flags(media_stream: DataFrame, *,
+                               watermark: str = "1 hour",
+                               horizon_seconds: int = 3600,
+                               ts_col: str = "ingested_at",
+                               n_bands: int = 4,
+                               payload_col: str = "payload") -> DataFrame:
+    """Streaming IMAGE near-dup at ingest (round 7 — the streaming twin
+    of :func:`~rdf_rdfxml_spark.operators.multimodal
+    .image_neardup_candidates`): decode + 48-bit dHash + Hamming band
+    split run in ONE in-stream ``mapInArrow`` stage (pixels never leave
+    the stage; per-item decode failures are dropped, the stream never
+    dies), then the SAME epoch-deterministic stateful flagger as the
+    text path, keyed by ``(band_id, band_value)``.
+
+    Output rows ``(media_id, band_id, dup_of)``: ``media_id`` shares a
+    dHash band with the earlier-ingested ``dup_of``. Single-batch
+    (availableNow) semantics equal the relational rule "every item
+    except the bucket minimum by (ts, media_id), paired with the
+    minimum" — SQL-expressible, so the driver oracle checks this path.
+    State per live bucket is one (media_id, ts) pair; the pigeonhole
+    property of the batch operator carries over per epoch (any pair
+    within Hamming distance n_bands−1 ingested inside one horizon
+    shares a band bucket and is flagged)."""
+    import pyarrow as pa
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from ..operators.multimodal import DHASH_BITS, decode_image, dhash48
+
+    width = DHASH_BITS // n_bands
+
+    def fn(it):
+        for rb in it:
+            mids = rb.column(rb.schema.get_field_index("media_id"))
+            payloads = rb.column(rb.schema.get_field_index(payload_col))
+            ts = rb.column(rb.schema.get_field_index(ts_col))
+            out_id, out_band, out_val, out_idx = [], [], [], []
+            for k in range(rb.num_rows):
+                payload = payloads[k].as_py() or b""
+                try:
+                    h = dhash48(decode_image(bytes(payload)))
+                except Exception:   # isolation: bad item -> no signature
+                    continue
+                mid = mids[k].as_py()
+                for b in range(n_bands):
+                    out_id.append(mid)
+                    out_band.append(b)
+                    out_val.append((h >> (b * width)) % (1 << width))
+                    out_idx.append(k)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_id, type=pa.string()),
+                 pa.array(out_band, type=pa.int32()),
+                 pa.array(out_val, type=pa.int64()),
+                 ts.take(pa.array(out_idx, type=pa.int32()))],
+                names=["media_id", "band_id", "band_value", ts_col])
+
+    bands = media_stream.select("media_id", payload_col,
+                                F.col(ts_col)).mapInArrow(
+        fn, schema=f"media_id string, band_id int, band_value long, "
+                   f"{ts_col} timestamp").withWatermark(ts_col, watermark)
+
+    state_schema = "first_doc string, first_ts long, last_ts long"
+    out_schema = "media_id string, band_id int, dup_of string"
+    update = _neardup_update_fn(horizon_seconds, ts_col, "media_id", str)
+
+    return (bands.groupBy("band_id", "band_value")
             .applyInPandasWithState(
                 update, out_schema, state_schema, "append",
                 GroupStateTimeout.EventTimeTimeout))

@@ -1363,3 +1363,37 @@ def test_video_neardup_pipeline(spark):
         "payload", F.lit(bytearray(b"not a video")))
     rows = video_signatures(hostile).collect()
     assert all(r["vhash"] is None and r["error"] for r in rows)
+
+def test_stream_image_neardup_hostile_isolation(spark, tmp_path):
+    """Round 7: the in-stream decode stage drops undecodable payloads
+    (no signature, no flags) without killing the stream, and the good
+    items still pair; epoch semantics are the SHARED _neardup_update_fn
+    already driven by test_stream_neardup_horizon_expiry."""
+    from rdf_rdfxml_spark.operators.multimodal import (
+        MEDIA_SCHEMA, synth_neardup_media,
+    )
+    from rdf_rdfxml_spark.streaming.stream import (
+        stream_image_neardup_flags,
+    )
+    media = synth_neardup_media(spark, 6, 2)  # 2 bases x 3 variants
+    hostile = spark.createDataFrame(
+        [("z9999", "image", "image/png", bytearray(b"not an image"),
+          None, None)], MEDIA_SCHEMA)
+    both = media.unionByName(hostile).selectExpr(
+        "media_id", "payload",
+        "timestamp_seconds(1700000000 + CAST(substring(media_id, 2, 4) "
+        "AS INT)) AS ingested_at")
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    both.write.parquet(in_dir)
+    stream = spark.readStream.schema(both.schema).parquet(in_dir)
+    q = (stream_image_neardup_flags(stream)
+         .writeStream.option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True)
+         .start(out_dir, format="parquet", outputMode="append"))
+    q.awaitTermination()
+    rows = spark.read.parquet(out_dir).collect()
+    assert rows, "good items must still flag"
+    ids = {r["media_id"] for r in rows} | {r["dup_of"] for r in rows}
+    assert "z9999" not in ids                  # hostile item dropped
+    for r in rows:                            # same base only
+        assert int(r["media_id"][1:]) % 2 == int(r["dup_of"][1:]) % 2
