@@ -952,6 +952,76 @@ def stream_image_neardup_oracle_sql(n: int = 48, n_base: int = 16, *,
     WHERE b.media_id != f.first_id"""
 
 
+def q_stream_audio_neardup(spark, sf_dir):
+    # Streaming AUDIO near-dup (round 7): the gain-invariant spectral
+    # fingerprint through the generic streaming media engine — same
+    # multi-batch checkpoint protocol and relational oracle rule as
+    # q_stream_image_neardup (see that query's comment).
+    from rdf_rdfxml_spark.operators.multimodal import synth_neardup_audio
+    from rdf_rdfxml_spark.streaming.stream import (
+        stream_audio_neardup_flags,
+    )
+    base = _scratch("stream_audio_neardup")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    media = synth_neardup_audio(spark, 36).selectExpr(
+        "media_id", "payload",
+        "timestamp_seconds(1700000000 + CAST(substring(media_id, 2) "
+        "AS INT)) AS ingested_at")
+    (media.filter("substring(media_id, 2) <= '0017'")
+     .repartition(4).write.parquet(in_dir))
+
+    def run_round():
+        stream = spark.readStream.schema(media.schema).parquet(in_dir)
+        q = (stream_audio_neardup_flags(stream)
+             .writeStream.option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start(out_dir, format="parquet", outputMode="append"))
+        q.awaitTermination()
+
+    run_round()
+    (media.filter("substring(media_id, 2) > '0017'")
+     .repartition(4).write.mode("append").parquet(in_dir))
+    run_round()
+    return (spark.read.parquet(out_dir)
+            .selectExpr("media_id", "CAST(band_id AS INT) AS band_id",
+                        "dup_of"))
+
+
+def stream_audio_neardup_oracle_sql(n: int = 36, n_base: int = 12, *,
+                                    n_bands: int = 4) -> str:
+    """DuckDB twin of q_stream_audio_neardup's availableNow semantics
+    (the audio instance of stream_image_neardup_oracle_sql's rule)."""
+    from rdf_rdfxml_spark.operators.multimodal import (
+        _decode_audio_checked, audio_fingerprint48,
+        synth_neardup_audio_item,
+    )
+    width = 48 // n_bands
+    rows = []
+    for i in range(n):
+        media_id, payload = synth_neardup_audio_item(i, n_base)
+        samples, rate = _decode_audio_checked(payload)
+        rows.append(f"('{media_id}', "
+                    f"{audio_fingerprint48(samples, rate)})")
+    values = ",\n      ".join(rows)
+    return f"""
+    WITH sig AS (SELECT * FROM (VALUES
+      {values}) AS t(media_id, afp)),
+    bands AS (
+      SELECT media_id, CAST(b AS INTEGER) AS band_id,
+             (afp >> CAST(b * {width} AS INTEGER)) % {2 ** width}
+               AS band_value
+      FROM sig, generate_series(0, {n_bands - 1}) AS g(b)),
+    firsts AS (
+      SELECT band_id, band_value, MIN(media_id) AS first_id
+      FROM bands GROUP BY band_id, band_value)
+    SELECT b.media_id, b.band_id, f.first_id AS dup_of
+    FROM bands b JOIN firsts f
+      ON f.band_id = b.band_id AND f.band_value = b.band_value
+    WHERE b.media_id != f.first_id"""
+
+
 def q_containment_pairs(spark, sf_dir):
     # Containment search (winnowing fingerprint intersection): catches
     # doc-inside-doc duplication that jaccard misses. Shuffles only
@@ -1539,9 +1609,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composed multimodal curation pipeline (round 7) — text exact
         # dedup + image/audio/video near-dup survivor counts in one row
         "multimodal_corpus_stats": q_multimodal_corpus_stats,
-        # streaming image near-dup (round 7) — the streaming x image
-        # cell of the dedup matrix, multi-batch through one checkpoint
+        # streaming image + audio near-dup (round 7) — the streaming x
+        # media cells of the dedup matrix, multi-batch through one
+        # checkpoint each
         "stream_image_neardup": q_stream_image_neardup,
+        "stream_audio_neardup": q_stream_audio_neardup,
     }
 
 
@@ -2039,4 +2111,5 @@ def _all_oracle_sql() -> dict[str, str]:
     oracles["video_neardup_candidates"] = video_neardup_oracle_sql(24)
     oracles["multimodal_corpus_stats"] = _multimodal_corpus_oracle()
     oracles["stream_image_neardup"] = stream_image_neardup_oracle_sql(48)
+    oracles["stream_audio_neardup"] = stream_audio_neardup_oracle_sql(36)
     return oracles

@@ -208,12 +208,52 @@ def stream_image_neardup_flags(media_stream: DataFrame, *,
     property of the batch operator carries over per epoch (any pair
     within Hamming distance n_bands−1 ingested inside one horizon
     shares a band bucket and is flagged)."""
+    from ..operators.multimodal import decode_image, dhash48
+    return stream_media_neardup_flags(
+        media_stream, lambda p: dhash48(decode_image(p)),
+        watermark=watermark, horizon_seconds=horizon_seconds,
+        ts_col=ts_col, n_bands=n_bands, payload_col=payload_col)
+
+
+def stream_audio_neardup_flags(media_stream: DataFrame, *,
+                               watermark: str = "1 hour",
+                               horizon_seconds: int = 3600,
+                               ts_col: str = "ingested_at",
+                               n_bands: int = 4,
+                               payload_col: str = "payload") -> DataFrame:
+    """Streaming AUDIO near-dup at ingest: the gain-invariant 48-bit
+    spectral fingerprint through the real decode path, same machinery
+    and semantics as :func:`stream_image_neardup_flags`."""
+    from ..operators.multimodal import (
+        _decode_audio_checked, audio_fingerprint48,
+    )
+
+    def sig(payload: bytes) -> int:
+        samples, rate = _decode_audio_checked(payload)
+        return audio_fingerprint48(samples, rate)
+
+    return stream_media_neardup_flags(
+        media_stream, sig,
+        watermark=watermark, horizon_seconds=horizon_seconds,
+        ts_col=ts_col, n_bands=n_bands, payload_col=payload_col)
+
+
+def stream_media_neardup_flags(media_stream: DataFrame, signature, *,
+                               watermark: str = "1 hour",
+                               horizon_seconds: int = 3600,
+                               ts_col: str = "ingested_at",
+                               n_bands: int = 4, bits: int = 48,
+                               payload_col: str = "payload") -> DataFrame:
+    """Generic streaming media near-dup engine: ``signature(payload) ->
+    <=``bits``-bit int`` runs per item inside the in-stream mapInArrow
+    stage (exceptions drop the item — isolation), bands split by
+    contiguous bit ranges, then the shared epoch-deterministic stateful
+    flagger keyed by ``(band_id, band_value)``."""
     import pyarrow as pa
 
     from pyspark.sql.streaming.state import GroupStateTimeout
-    from ..operators.multimodal import DHASH_BITS, decode_image, dhash48
 
-    width = DHASH_BITS // n_bands
+    width = bits // n_bands
 
     def fn(it):
         for rb in it:
@@ -224,7 +264,7 @@ def stream_image_neardup_flags(media_stream: DataFrame, *,
             for k in range(rb.num_rows):
                 payload = payloads[k].as_py() or b""
                 try:
-                    h = dhash48(decode_image(bytes(payload)))
+                    h = signature(bytes(payload))
                 except Exception:   # isolation: bad item -> no signature
                     continue
                 mid = mids[k].as_py()
