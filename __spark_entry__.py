@@ -1022,6 +1022,75 @@ def stream_audio_neardup_oracle_sql(n: int = 36, n_base: int = 12, *,
     WHERE b.media_id != f.first_id"""
 
 
+def q_stream_video_neardup(spark, sf_dir):
+    # Streaming VIDEO near-dup (round 7): frame-majority signature
+    # through the generic streaming media engine — same multi-batch
+    # checkpoint protocol and relational oracle rule as the image/audio
+    # streaming twins; completes the streaming dedup matrix.
+    from rdf_rdfxml_spark.operators.multimodal import synth_neardup_video
+    from rdf_rdfxml_spark.streaming.stream import (
+        stream_video_neardup_flags,
+    )
+    base = _scratch("stream_video_neardup")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    media = synth_neardup_video(spark, 24).selectExpr(
+        "media_id", "payload",
+        "timestamp_seconds(1700000000 + CAST(substring(media_id, 2) "
+        "AS INT)) AS ingested_at")
+    (media.filter("substring(media_id, 2) <= '0011'")
+     .repartition(4).write.parquet(in_dir))
+
+    def run_round():
+        stream = spark.readStream.schema(media.schema).parquet(in_dir)
+        q = (stream_video_neardup_flags(stream)
+             .writeStream.option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start(out_dir, format="parquet", outputMode="append"))
+        q.awaitTermination()
+
+    run_round()
+    (media.filter("substring(media_id, 2) > '0011'")
+     .repartition(4).write.mode("append").parquet(in_dir))
+    run_round()
+    return (spark.read.parquet(out_dir)
+            .selectExpr("media_id", "CAST(band_id AS INT) AS band_id",
+                        "dup_of"))
+
+
+def stream_video_neardup_oracle_sql(n: int = 24, n_base: int = 8, *,
+                                    n_bands: int = 4,
+                                    every: int = 2) -> str:
+    """DuckDB twin of q_stream_video_neardup's availableNow semantics
+    (the video instance of stream_image_neardup_oracle_sql's rule)."""
+    from rdf_rdfxml_spark.operators.multimodal import (
+        DHASH_BITS, synth_neardup_video_item, video_signature48,
+    )
+    width = DHASH_BITS // n_bands
+    rows = []
+    for i in range(n):
+        media_id, _mime, payload = synth_neardup_video_item(i, n_base)
+        rows.append(f"('{media_id}', "
+                    f"{video_signature48(payload, every=every)})")
+    values = ",\n      ".join(rows)
+    return f"""
+    WITH sig AS (SELECT * FROM (VALUES
+      {values}) AS t(media_id, vhash)),
+    bands AS (
+      SELECT media_id, CAST(b AS INTEGER) AS band_id,
+             (vhash >> CAST(b * {width} AS INTEGER)) % {2 ** width}
+               AS band_value
+      FROM sig, generate_series(0, {n_bands - 1}) AS g(b)),
+    firsts AS (
+      SELECT band_id, band_value, MIN(media_id) AS first_id
+      FROM bands GROUP BY band_id, band_value)
+    SELECT b.media_id, b.band_id, f.first_id AS dup_of
+    FROM bands b JOIN firsts f
+      ON f.band_id = b.band_id AND f.band_value = b.band_value
+    WHERE b.media_id != f.first_id"""
+
+
 def q_containment_pairs(spark, sf_dir):
     # Containment search (winnowing fingerprint intersection): catches
     # doc-inside-doc duplication that jaccard misses. Shuffles only
@@ -1614,6 +1683,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checkpoint each
         "stream_image_neardup": q_stream_image_neardup,
         "stream_audio_neardup": q_stream_audio_neardup,
+        "stream_video_neardup": q_stream_video_neardup,
     }
 
 
@@ -2112,4 +2182,5 @@ def _all_oracle_sql() -> dict[str, str]:
     oracles["multimodal_corpus_stats"] = _multimodal_corpus_oracle()
     oracles["stream_image_neardup"] = stream_image_neardup_oracle_sql(48)
     oracles["stream_audio_neardup"] = stream_audio_neardup_oracle_sql(36)
+    oracles["stream_video_neardup"] = stream_video_neardup_oracle_sql(24)
     return oracles

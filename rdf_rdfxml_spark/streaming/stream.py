@@ -238,6 +238,23 @@ def stream_audio_neardup_flags(media_stream: DataFrame, *,
         ts_col=ts_col, n_bands=n_bands, payload_col=payload_col)
 
 
+def stream_video_neardup_flags(media_stream: DataFrame, *,
+                               watermark: str = "1 hour",
+                               horizon_seconds: int = 3600,
+                               ts_col: str = "ingested_at",
+                               n_bands: int = 4, every: int = 2,
+                               payload_col: str = "payload") -> DataFrame:
+    """Streaming VIDEO near-dup at ingest: the frame-majority dHash
+    signature (real frame-splitting decode) through the generic media
+    engine — completes the streaming near-dup matrix across every
+    modality the engine decodes."""
+    from ..operators.multimodal import video_signature48
+    return stream_media_neardup_flags(
+        media_stream, lambda p: video_signature48(p, every=every),
+        watermark=watermark, horizon_seconds=horizon_seconds,
+        ts_col=ts_col, n_bands=n_bands, payload_col=payload_col)
+
+
 def stream_media_neardup_flags(media_stream: DataFrame, signature, *,
                                watermark: str = "1 hour",
                                horizon_seconds: int = 3600,
