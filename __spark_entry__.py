@@ -646,7 +646,11 @@ def q_simhash_candidates(spark, sf_dir):
     # Hamming-LSH over SimHash (Manku-style bit banding): pairs within
     # Hamming distance n_bands-1 = 3 are guaranteed (pigeonhole) to share
     # a band — so the <=3 post-filter yields the COMPLETE pair set at that
-    # radius, exact recall, not probabilistic. (Pairs beyond the radius are
+    # radius PROVIDED no band bucket exceeds the round-7 mega-bucket cap
+    # (default 1000; the gate corpus' largest bucket is orders of
+    # magnitude below it, and the 10x media legs measured max bucket 11
+    # — see sketch.simhash_candidates' docstring for the exact statement
+    # of the guarantee under the cap). (Pairs beyond the radius are
     # only found best-effort; filtering wider than n_bands-1 would
     # misrepresent the output as complete — round-2 ADVICE.)
     from rdf_rdfxml_spark.operators.sketch import simhash_candidates
@@ -1447,10 +1451,15 @@ def q_multimodal_corpus_stats(spark, sf_dir):
         synth_neardup_audio, synth_neardup_media, synth_neardup_video,
         video_neardup_candidates,
     )
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    n_docs = docs.count()
-    n_docs_exact = (docs.groupBy(F.md5("text").alias("h"))
-                    .agg(F.min("doc_id")).count())
+    # persist before the two counts so the documents scan runs once
+    # (the training_corpus_stats lesson — round-2 verdict)
+    docs = (_docs(spark, sf_dir).select("doc_id", "text").persist())
+    try:
+        n_docs = docs.count()
+        n_docs_exact = (docs.groupBy(F.md5("text").alias("h"))
+                        .agg(F.min("doc_id")).count())
+    finally:
+        docs.unpersist()
 
     def kept(media, cand_fn, n_items):
         # survivors = items minus non-canonical component members

@@ -335,7 +335,15 @@ def main():
     except Exception as e:
         print(f"[bench] side-file write failed: {e}", file=sys.stderr)
     line = json.dumps(headline_json)
-    assert len(line) < 1800, f"headline JSON too long ({len(line)} bytes)"
+    if len(line) > 1800:
+        # Never fail the run over line length: drop the biggest optional
+        # field so the driver's ~2 kB tail capture still parses, and
+        # say so on stderr (the full dict is in the side file either way).
+        headline_json.pop("queries", None)
+        headline_json["truncated"] = "queries dropped; see perf_data/"
+        line = json.dumps(headline_json)
+        print(f"[bench] headline exceeded 1800 bytes; queries moved to "
+              f"side file", file=sys.stderr)
     print(line)
     spark.stop()
 

@@ -1218,10 +1218,31 @@ def decode_gif(payload: bytes) -> np.ndarray:
 
 DHASH_BITS = 48                              # 6x9 grid -> 6x8 comparisons
 
-#: At most one persisted near-dup signature table is resident at a time;
-#: freed on the next _hamming_lsh_pairs call (linking.py's bounded-cache
-#: pattern — ReuseExchange does not fire across the join's consumers).
+#: Bounded persisted-signature cache (linking.py's pattern — ReuseExchange
+#: does not fire across the join's consumers). Depth > 1 (round-7 review):
+#: eviction happens at DataFrame-CONSTRUCTION time, so a composed query
+#: that builds several candidate operators before running any of them
+#: must not evict a handle whose persist has not materialized yet — a few
+#: resident handles cover every composed query in the repo while staying
+#: bounded (oldest-first eviction, fixed-width sketch rows only).
 _SIG_CACHE: list = []
+_SIG_CACHE_DEPTH = 4
+
+
+def _band_explode(sig: DataFrame, hash_col: str, bits: int,
+                  n_bands: int) -> DataFrame:
+    """(media_id, <hash_col>) → one row per (media_id, band): the
+    contiguous-bit-range band derivation SHARED by the candidate join
+    and the bucket-stats audit surface (a forked copy would let the
+    counters silently desynchronize from the join they describe)."""
+    width = bits // n_bands
+    return sig.selectExpr(
+        "media_id",
+        f"explode(transform(sequence(0, {n_bands - 1}), b -> "
+        f"named_struct('band_id', b, 'band_value', "
+        f"shiftright({hash_col}, b * {width}) % {2 ** width}))) AS x",
+        hash_col).selectExpr("media_id", "x.band_id", "x.band_value",
+                             hash_col)
 
 
 def dhash48(img: np.ndarray) -> int:
@@ -1260,6 +1281,7 @@ def synth_neardup_media_item(i: int, n_base: int = 16) -> tuple:
     driver oracle builder so the two can never drift."""
     base = i % n_base
     variant = i // n_base
+    assert variant < 3, f"item {i} out of range for n_base={n_base}"
     seed = int.from_bytes(
         hashlib.sha256(f"neardup:{base}".encode()).digest()[:4], "big")
     rng = np.random.default_rng(seed)
@@ -1294,12 +1316,17 @@ def synth_neardup_media(spark, n: int = 48, n_base: int = 16) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def image_dhash(media: DataFrame, *,
-                payload_col: str = "payload") -> DataFrame:
-    """(media_id, payload) → (media_id, dhash, error): document-local
-    decode + 48-bit dHash in ONE Arrow stage (pyarrow in/out, no pandas
-    — the extract.py hot-path pattern), zero shuffle. Per-item failures
-    → error rows, never exceptions (isolation invariant)."""
+def _signature_stage(media: DataFrame, sig_fn, out_col: str, *,
+                     payload_col: str = "payload") -> DataFrame:
+    """(media_id, payload) → (media_id, <out_col>, error): per-item
+    ``sig_fn(payload_bytes) -> int`` signature in ONE Arrow stage
+    (pyarrow in/out, no pandas — the extract.py hot-path pattern), zero
+    shuffle; per-item failures → error rows, never exceptions
+    (isolation invariant). The shared engine behind
+    :func:`image_dhash` / :func:`audio_fingerprints` /
+    :func:`video_signatures` (round-7 review: three copy-pasted loops
+    collapsed — the streaming side's stream_media_neardup_flags is the
+    same factoring)."""
     import pyarrow as pa
 
     def fn(it):
@@ -1308,11 +1335,10 @@ def image_dhash(media: DataFrame, *,
             payloads = rb.column(rb.schema.get_field_index(payload_col))
             out_id, out_h, out_e = [], [], []
             for k in range(rb.num_rows):
-                mid = mids[k].as_py()
+                out_id.append(mids[k].as_py())
                 payload = payloads[k].as_py() or b""
-                out_id.append(mid)
                 try:
-                    out_h.append(dhash48(decode_image(bytes(payload))))
+                    out_h.append(sig_fn(bytes(payload)))
                     out_e.append(None)
                 except Exception as e:      # per-item isolation
                     out_h.append(None)
@@ -1321,10 +1347,20 @@ def image_dhash(media: DataFrame, *,
                 [pa.array(out_id, type=pa.string()),
                  pa.array(out_h, type=pa.int64()),
                  pa.array(out_e, type=pa.string())],
-                names=["media_id", "dhash", "error"])
+                names=["media_id", out_col, "error"])
 
     return media.select("media_id", payload_col).mapInArrow(
-        fn, schema="media_id string, dhash long, error string")
+        fn, schema=f"media_id string, {out_col} long, error string")
+
+
+def image_dhash(media: DataFrame, *,
+                payload_col: str = "payload") -> DataFrame:
+    """(media_id, payload) → (media_id, dhash, error): document-local
+    decode + 48-bit dHash through the shared :func:`_signature_stage`
+    engine."""
+    return _signature_stage(media,
+                            lambda p: dhash48(decode_image(p)),
+                            "dhash", payload_col=payload_col)
 
 
 def image_neardup_candidates(media: DataFrame, *, n_bands: int = 4,
@@ -1335,8 +1371,10 @@ def image_neardup_candidates(media: DataFrame, *, n_bands: int = 4,
     post-filter. Pigeonhole guarantee (same as simhash_candidates): any
     pair within Hamming distance ``n_bands - 1`` shares at least one
     band, so recall at ``radius <= n_bands - 1`` is exact, not
-    probabilistic. Scale shape: ``n_bands`` fixed-width rows per image
-    into the only shuffle; pair verification is integer XOR+popcount.
+    probabilistic — under the mega-bucket cap's precondition (see
+    :func:`_hamming_lsh_pairs` for the exact statement). Scale shape:
+    ``n_bands`` fixed-width rows per image into the only shuffle; pair
+    verification is integer XOR+popcount.
 
     Output: ``(a, b, hamming)`` with a < b, distinct,
     ``hamming <= radius``."""
@@ -1359,10 +1397,17 @@ def _hamming_lsh_pairs(sig: DataFrame, hash_col: str, bits: int, *,
     m²/2 intermediate pairs on ONE reducer: a quadratic blowup on a
     skewed key at 100× scale even though small corpora run fine. Band
     buckets larger than the cap are excluded (standard LSH practice,
-    same as sketch.minhash_candidates' ``max_bucket``): the dropped
-    clusters are identical-signature mobs that the cheaper
-    ``dedup_exact`` equality pass collapses first. ``None`` = no cap.
-    Use :func:`hamming_band_bucket_stats` for dropped-bucket counters.
+    same as sketch.minhash_candidates' ``max_bucket``). Precision of
+    the pigeonhole claim under the cap: a bucket keys on ONE band
+    value, not the whole hash, so an over-cap bucket need not be an
+    identical-signature mob — a pair whose ONLY shared band is the
+    dropped one loses its candidate edge. Recall is therefore exact for
+    corpora whose buckets all stay within the cap (the common case;
+    identical-signature mobs — what actually produces mega-buckets —
+    are collapsed by the cheaper ``dedup_exact`` first), and
+    :func:`hamming_band_bucket_stats` is the committed audit surface
+    for whether the cap bit. ``None`` = no cap restores the
+    unconditional guarantee.
 
     The signature input is PERSISTED for the duration of the join
     (bounded cache, linking.py's pattern — freed on the next call):
@@ -1372,18 +1417,11 @@ def _hamming_lsh_pairs(sig: DataFrame, hash_col: str, bits: int, *,
     cost. The cached rows are fixed-width (media_id, hash) — model-
     sized relative to the payloads they replace."""
     assert bits % n_bands == 0 and radius <= n_bands - 1
-    while _SIG_CACHE:
-        _SIG_CACHE.pop().unpersist()
+    while len(_SIG_CACHE) >= _SIG_CACHE_DEPTH:
+        _SIG_CACHE.pop(0).unpersist()
     sig = sig.persist()
     _SIG_CACHE.append(sig)
-    width = bits // n_bands
-    bands = sig.selectExpr(
-        "media_id",
-        f"explode(transform(sequence(0, {n_bands - 1}), b -> "
-        f"named_struct('band_id', b, 'band_value', "
-        f"shiftright({hash_col}, b * {width}) % {2 ** width}))) AS x",
-        hash_col).selectExpr("media_id", "x.band_id", "x.band_value",
-                             hash_col)
+    bands = _band_explode(sig, hash_col, bits, n_bands)
     if max_bucket is not None:
         ok = (bands.groupBy("band_id", "band_value").count()
               .filter(F.col("count") <= max_bucket).drop("count"))
@@ -1408,13 +1446,8 @@ def hamming_band_bucket_stats(sig: DataFrame, hash_col: str, bits: int, *,
     counters in the winnowing scale proof).
 
     Output: ``(band_id, band_value, n_items, dropped)``."""
-    width = bits // n_bands
-    bands = sig.selectExpr(
-        "media_id",
-        f"explode(transform(sequence(0, {n_bands - 1}), b -> "
-        f"named_struct('band_id', b, 'band_value', "
-        f"shiftright({hash_col}, b * {width}) % {2 ** width}))) AS x"
-    ).selectExpr("media_id", "x.band_id", "x.band_value")
+    bands = _band_explode(sig, hash_col, bits, n_bands) \
+        .select("media_id", "band_id", "band_value")
     cap = 2 ** 63 - 1 if max_bucket is None else max_bucket
     return (bands.groupBy("band_id", "band_value")
             .agg(F.count("*").alias("n_items"))
@@ -1518,6 +1551,7 @@ def synth_neardup_audio_item(i: int, n_base: int = 12, *,
     so the two can never drift."""
     base = i % n_base
     variant = i // n_base
+    assert variant < 3, f"item {i} out of range for n_base={n_base}"
     seed = int.from_bytes(
         hashlib.sha256(f"neardup-audio:{base}".encode()).digest()[:4],
         "big")
@@ -1563,33 +1597,14 @@ def synth_neardup_audio(spark, n: int = 36, n_base: int = 12) -> DataFrame:
 def audio_fingerprints(media: DataFrame, *,
                        payload_col: str = "payload") -> DataFrame:
     """(media_id, payload) → (media_id, afp, error): decode + 48-bit
-    spectral fingerprint in ONE Arrow stage, zero shuffle, per-item
-    error isolation (the audio twin of :func:`image_dhash`)."""
-    import pyarrow as pa
+    spectral fingerprint through the shared :func:`_signature_stage`
+    engine (the audio twin of :func:`image_dhash`)."""
 
-    def fn(it):
-        for rb in it:
-            mids = rb.column(rb.schema.get_field_index("media_id"))
-            payloads = rb.column(rb.schema.get_field_index(payload_col))
-            out_id, out_h, out_e = [], [], []
-            for k in range(rb.num_rows):
-                out_id.append(mids[k].as_py())
-                payload = payloads[k].as_py() or b""
-                try:
-                    samples, rate = _decode_audio_checked(bytes(payload))
-                    out_h.append(audio_fingerprint48(samples, rate))
-                    out_e.append(None)
-                except Exception as e:      # per-item isolation
-                    out_h.append(None)
-                    out_e.append(f"{type(e).__name__}: {e}")
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(out_id, type=pa.string()),
-                 pa.array(out_h, type=pa.int64()),
-                 pa.array(out_e, type=pa.string())],
-                names=["media_id", "afp", "error"])
+    def sig(payload: bytes) -> int:
+        samples, rate = _decode_audio_checked(payload)
+        return audio_fingerprint48(samples, rate)
 
-    return media.select("media_id", payload_col).mapInArrow(
-        fn, schema="media_id string, afp long, error string")
+    return _signature_stage(media, sig, "afp", payload_col=payload_col)
 
 
 def audio_neardup_candidates(media: DataFrame, *, n_bands: int = 4,
@@ -1680,33 +1695,12 @@ def video_signature48(payload: bytes, *, every: int = 2) -> int:
 def video_signatures(media: DataFrame, *, every: int = 2,
                      payload_col: str = "payload") -> DataFrame:
     """(media_id, payload) → (media_id, vhash, error): frame-split +
-    per-frame dHash + majority vote in ONE Arrow stage, zero shuffle,
-    per-item error isolation (the video twin of :func:`image_dhash`)."""
-    import pyarrow as pa
-
-    def fn(it):
-        for rb in it:
-            mids = rb.column(rb.schema.get_field_index("media_id"))
-            payloads = rb.column(rb.schema.get_field_index(payload_col))
-            out_id, out_h, out_e = [], [], []
-            for k in range(rb.num_rows):
-                out_id.append(mids[k].as_py())
-                payload = payloads[k].as_py() or b""
-                try:
-                    out_h.append(video_signature48(bytes(payload),
-                                                   every=every))
-                    out_e.append(None)
-                except Exception as e:      # per-item isolation
-                    out_h.append(None)
-                    out_e.append(f"{type(e).__name__}: {e}")
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(out_id, type=pa.string()),
-                 pa.array(out_h, type=pa.int64()),
-                 pa.array(out_e, type=pa.string())],
-                names=["media_id", "vhash", "error"])
-
-    return media.select("media_id", payload_col).mapInArrow(
-        fn, schema="media_id string, vhash long, error string")
+    per-frame dHash + majority vote through the shared
+    :func:`_signature_stage` engine (the video twin of
+    :func:`image_dhash`)."""
+    return _signature_stage(media,
+                            lambda p: video_signature48(p, every=every),
+                            "vhash", payload_col=payload_col)
 
 
 def video_neardup_candidates(media: DataFrame, *, n_bands: int = 4,
@@ -1749,6 +1743,9 @@ def synth_neardup_video_item(i: int, n_base: int = 8, *,
     oracle builder so the two can never drift."""
     base = i % n_base
     variant = i // n_base
+    # the contract is 3 container variants per base; a larger i would
+    # silently duplicate variant-0 footage under a new id
+    assert variant < 3, f"item {i} out of range for n_base={n_base}"
     field = _neardup_video_field(base)
     imgs = [np.roll(field, 3 * f, axis=1) for f in range(frames)]
     media_id = "w%04d" % i

@@ -55,14 +55,19 @@ SIMHASH_BITS = 48
 #: the rename projections, so without a persist the document-local
 #: mapInArrow SIGNATURE pass — the dominant cost — recomputes per
 #: consumer (measured 4.8 s → 2.7 s on the sf0.1 minhash band join).
-#: Freed at the next candidate-operator call; at most the handles of one
-#: composed query stay resident.
+#: Bounded depth > 1 (round-7 review): eviction happens at DataFrame-
+#: CONSTRUCTION time, so a composed query that builds several candidate
+#: operators lazily before running any of them must not evict a handle
+#: whose persist has not materialized yet. Oldest-first eviction; the
+#: cached rows are fixed-width sketches, so a few resident handles stay
+#: model-sized.
 _SKETCH_CACHE: list = []
+_SKETCH_CACHE_DEPTH = 4
 
 
 def _cache_reset_and_persist(df: DataFrame) -> DataFrame:
-    while _SKETCH_CACHE:
-        _SKETCH_CACHE.pop().unpersist()
+    while len(_SKETCH_CACHE) >= _SKETCH_CACHE_DEPTH:
+        _SKETCH_CACHE.pop(0).unpersist()
     df = df.persist()
     _SKETCH_CACHE.append(df)
     return df
@@ -517,9 +522,18 @@ def simhash_candidates(docs: DataFrame, *, bits: int = SIMHASH_BITS,
 
     ``max_bucket`` (round-6 verdict): band buckets holding more than this
     many documents are excluded before the self-join — a mass-duplicated
-    boilerplate population (identical simhash m times over) would emit
-    m²/2 pairs on ONE reducer; those clusters are exactly what the
-    cheaper ``dedup_exact`` equality pass collapses. ``None`` = no cap.
+    boilerplate population would otherwise emit m²/2 pairs on ONE
+    reducer. PRECISION OF THE GUARANTEE UNDER THE CAP: a band bucket
+    keys on ONE ``bits/n_bands``-bit band value, not the whole simhash,
+    so an over-cap bucket is not necessarily an identical-signature mob
+    — a pair whose ONLY shared band is the dropped one loses its
+    candidate edge. The pigeonhole recall therefore holds exactly for
+    corpora whose band buckets all stay within the cap (audit with a
+    bucket-size pass — the media twin's
+    ``multimodal.hamming_band_bucket_stats`` shape); identical-simhash
+    mobs, the dominant real cause of mega-buckets, are what
+    ``dedup_exact`` collapses first. ``None`` = no cap restores the
+    unconditional guarantee at the cost of the quadratic-bucket risk.
 
     Output: candidate pairs ``(a, b, hamming)`` with a < b, distinct,
     hamming computed exactly for the verification step.
