@@ -19,6 +19,7 @@ Two kinds of evidence per modality:
 
 Usage: python tools/modality_neardup_scale.py
   (one JSON line; quiet host; ~5 min)
+  SPARK_GRAFT_MODALITY_SCALES="1,30" for a deeper leg (default "1,10").
 """
 
 from __future__ import annotations
@@ -96,12 +97,16 @@ def main():
             cand=video_neardup_candidates, sig=video_signatures,
             hash_col="vhash", bits=DHASH_BITS, n1=24, nb1=8),
     }
-    out = {"protocol": f"1x vs 10x bases (cluster size constant at 3), "
-                       f"best-of-{ATTEMPTS}, cap={CAP}, local[{CPUS}]",
+    scales = [int(x) for x in os.environ.get(
+        "SPARK_GRAFT_MODALITY_SCALES", "1,10").split(",")]
+    hi = scales[-1]
+    out = {"protocol": f"{scales[0]}x vs {hi}x bases (cluster size "
+                       f"constant at 3), best-of-{ATTEMPTS}, cap={CAP}, "
+                       f"local[{CPUS}]",
            "loadavg": round(os.getloadavg()[0], 2)}
     for name, m in modalities.items():
         legs = {}
-        for scale in (1, 10):
+        for scale in scales:
             n, nb = m["n1"] * scale, m["nb1"] * scale
             t0 = time.time()
             media = m["synth"](n, nb).repartition(2 * CPUS).persist()
@@ -113,15 +118,17 @@ def main():
                 **_leg(spark, media, m["cand"], m["sig"],
                        m["hash_col"], m["bits"]))
             media.unpersist()
-        w1, w10 = legs["1x"]["wall_sec"], legs["10x"]["wall_sec"]
-        f1 = legs["1x"]["join_fanout_pairs"]
-        f10 = legs["10x"]["join_fanout_pairs"]
-        legs["wall_ratio_10x"] = round(w10 / w1, 2)
-        legs["fanout_ratio_10x"] = round(f10 / f1, 2) if f1 else None
+        lo_k, hi_k = f"{scales[0]}x", f"{hi}x"
+        w1, w10 = legs[lo_k]["wall_sec"], legs[hi_k]["wall_sec"]
+        f1 = legs[lo_k]["join_fanout_pairs"]
+        f10 = legs[hi_k]["join_fanout_pairs"]
+        legs[f"wall_ratio_{hi_k}"] = round(w10 / w1, 2)
+        legs[f"fanout_ratio_{hi_k}"] = (round(f10 / f1, 2)
+                                        if f1 else None)
         out[name] = legs
-        print(f"[scale] {name}: {legs['wall_ratio_10x']}x wall, "
-              f"{legs['fanout_ratio_10x']}x join fan-out, "
-              f"dropped={legs['10x']['dropped_buckets']}",
+        print(f"[scale] {name}: {legs[f'wall_ratio_{hi_k}']}x wall, "
+              f"{legs[f'fanout_ratio_{hi_k}']}x join fan-out, "
+              f"dropped={legs[hi_k]['dropped_buckets']}",
               file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
