@@ -1397,3 +1397,51 @@ def test_stream_image_neardup_hostile_isolation(spark, tmp_path):
     assert "z9999" not in ids                  # hostile item dropped
     for r in rows:                            # same base only
         assert int(r["media_id"][1:]) % 2 == int(r["dup_of"][1:]) % 2
+
+def test_hamming_cap_soundness_property(spark):
+    """Cap soundness on seeded random skewed corpora: capped candidate
+    pairs are a SUBSET of uncapped pairs, and every pair the cap drops
+    has EVERY shared band sitting in an over-cap bucket — no pair with
+    any under-cap shared band is ever lost (the exact statement of the
+    guarantee in _hamming_lsh_pairs's docstring)."""
+    import numpy as np
+    from rdf_rdfxml_spark.operators.multimodal import _hamming_lsh_pairs
+    rng = np.random.default_rng(123)
+    cap, n_bands, radius, bits = 20, 4, 3, 48
+    width = bits // n_bands
+    rows = []
+    mob = int(rng.integers(0, 1 << 48))          # degenerate mob sigs
+    k = 0
+    for i in range(260):
+        r = rng.random()
+        if r < 0.3:
+            h = mob
+        elif r < 0.5:                            # near-dup twin pair
+            base = int(rng.integers(0, 1 << 48))
+            rows.append(("m%04d" % k, base)); k += 1
+            h = base ^ (1 << int(rng.integers(0, 48)))
+        else:
+            h = int(rng.integers(0, 1 << 48))
+        rows.append(("m%04d" % k, h)); k += 1
+    sig = spark.createDataFrame(rows, "media_id string, dhash long")
+
+    def pairs(max_bucket):
+        return {(r["a"], r["b"]) for r in
+                _hamming_lsh_pairs(sig, "dhash", bits, n_bands=n_bands,
+                                   radius=radius, max_bucket=max_bucket)
+                .collect()}
+
+    capped, uncapped = pairs(cap), pairs(None)
+    assert capped <= uncapped and capped       # subset, non-trivial
+    # reconstruct bucket populations in plain python
+    from collections import Counter
+    h_of = dict(rows)
+    buckets = Counter((b, (h >> (b * width)) % (1 << width))
+                      for _, h in rows for b in range(n_bands))
+    for a, b in uncapped - capped:             # every dropped pair:
+        shared = [bb for bb in range(n_bands)
+                  if (h_of[a] >> (bb * width)) % (1 << width)
+                  == (h_of[b] >> (bb * width)) % (1 << width)]
+        assert shared and all(
+            buckets[(bb, (h_of[a] >> (bb * width)) % (1 << width))] > cap
+            for bb in shared), (a, b)
