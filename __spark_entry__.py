@@ -877,6 +877,36 @@ def q_stream_neardup(spark, sf_dir):
                         "dup_of"))
 
 
+_SAMPLE_RATES = {"en": 0.8, "zh": 0.5, "es": 0.25, "de": 0.1}
+
+
+def q_corpus_sample(spark, sf_dir):
+    # Deterministic stratified corpus sampling (round 7): the training-
+    # mix composition step ("keep 80% of en, 10% of de, 5% default").
+    # Decisions are md5-threshold per doc — resume/retry-stable, engine-
+    # portable, zero shuffle until this per-stratum rollup; the oracle
+    # replays the identical hash so every keep decision is value-checked
+    # (id_sum pins the exact row set, not just counts).
+    from rdf_rdfxml_spark.operators.sampling import stratified_sample
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    kept = stratified_sample(docs, _SAMPLE_RATES, stratum_col="lang",
+                             default_rate=0.05)
+    return (kept.groupBy(F.col("lang").alias("stratum"))
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("doc_id").alias("id_sum")))
+
+
+def q_holdout_split(spark, sf_dir):
+    # Deterministic train/held-out split (round 7): id-keyed hash
+    # threshold, stable under corpus growth (new docs never reshuffle
+    # old assignments) — the property a 100 TB eval split depends on.
+    from rdf_rdfxml_spark.operators.sampling import holdout_split
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return (holdout_split(docs, 0.1).groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("doc_id").alias("id_sum")))
+
+
 def q_stream_image_neardup(spark, sf_dir):
     # Streaming IMAGE near-dup (round 7): decode + dHash + Hamming band
     # split in ONE in-stream mapInArrow stage → the shared epoch-
@@ -1693,6 +1723,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_image_neardup": q_stream_image_neardup,
         "stream_audio_neardup": q_stream_audio_neardup,
         "stream_video_neardup": q_stream_video_neardup,
+        # deterministic corpus-mix composition (round 7)
+        "corpus_sample_stratified": q_corpus_sample,
+        "corpus_holdout_split": q_holdout_split,
     }
 
 
@@ -2192,4 +2225,10 @@ def _all_oracle_sql() -> dict[str, str]:
     oracles["stream_image_neardup"] = stream_image_neardup_oracle_sql(48)
     oracles["stream_audio_neardup"] = stream_audio_neardup_oracle_sql(36)
     oracles["stream_video_neardup"] = stream_video_neardup_oracle_sql(24)
+    from rdf_rdfxml_spark.operators.sampling import (
+        sample_oracle_sql, split_oracle_sql,
+    )
+    oracles["corpus_sample_stratified"] = sample_oracle_sql(
+        _SAMPLE_RATES, stratum_col="lang", default_rate=0.05)
+    oracles["corpus_holdout_split"] = split_oracle_sql(0.1)
     return oracles

@@ -1,0 +1,108 @@
+"""Deterministic sampling & split operators for training-data curation.
+
+A training pipeline's LAST mile is composing the corpus mix: per-source
+sampling rates ("keep 100% of wiki, 8% of crawl"), held-out splits, and
+down-weighting — and at 100 TB these decisions must be DETERMINISTIC
+(resume/retry-stable, reproducible across runs and engines), never
+``rand()``-based (a retried task would re-toss its coins and break
+exactly-once semantics; CLAUDE.md's determinism invariant).
+
+Decision function: ``u(doc) = int(md5(salt || ':' || doc_id)[:8], 16)``
+— a uniform 32-bit hash both Spark and DuckDB evaluate bit-identically
+(the sketch.py hash-portability pattern), so every sampling decision is
+oracle-checkable. Changing ``salt`` draws an independent sample;
+keeping it pins the exact row set forever.
+
+Scale shape: both operators are a single narrow projection + filter —
+no shuffle, no RNG state, trivially parallel; rates compose with any
+upstream dedup/quality stage.
+
+Reference parity note: ruby-rdf/rdf-rdfxml has no sampling surface;
+this exists for the brief's training-data pipeline operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+U32 = 1 << 32
+
+
+def _u32_expr(salt: str, id_col: str) -> str:
+    """The portable uniform hash: first 8 md5 hex chars as a 32-bit int
+    (Spark ``conv``; DuckDB mirrors with ``::UBIGINT``)."""
+    return (f"CAST(conv(substring(md5(concat('{salt}', ':', "
+            f"CAST({id_col} AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+
+
+def stratified_sample(docs: DataFrame, rates: dict, *,
+                      stratum_col: str = "source",
+                      id_col: str = "doc_id",
+                      default_rate: float = 0.0,
+                      salt: str = "sample:v1") -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample: keep a row iff
+    ``u32(salt, id) < rate[stratum] * 2^32``. Rows whose stratum has no
+    configured rate use ``default_rate`` (0.0 = drop — an unlisted
+    source never silently leaks into the mix). Output: the input rows
+    that survive, unchanged."""
+    expr = f"CAST({default_rate} * {U32} AS BIGINT)"
+    for stratum, rate in sorted(rates.items()):
+        assert 0.0 <= rate <= 1.0, (stratum, rate)
+        expr = (f"CASE WHEN {stratum_col} = '{stratum}' THEN "
+                f"CAST({rate} * {U32} AS BIGINT) ELSE {expr} END")
+    return docs.filter(f"{_u32_expr(salt, id_col)} < {expr}")
+
+
+def holdout_split(docs: DataFrame, heldout_frac: float, *,
+                  id_col: str = "doc_id",
+                  salt: str = "split:v1") -> DataFrame:
+    """Deterministic train/held-out assignment: adds a ``split`` column
+    (``'heldout'`` iff ``u32 < frac * 2^32`` else ``'train'``). The
+    SAME doc lands in the same split in every run, engine, and retry —
+    and because the hash is keyed on the document id, the split is
+    stable under corpus growth (new docs never reshuffle old ones)."""
+    assert 0.0 <= heldout_frac <= 1.0
+    cut = int(heldout_frac * U32)
+    return docs.withColumn(
+        "split",
+        F.expr(f"CASE WHEN {_u32_expr(salt, id_col)} < {cut} "
+               f"THEN 'heldout' ELSE 'train' END"))
+
+
+def sample_oracle_sql(rates: dict, *, stratum_col: str = "source",
+                      id_col: str = "doc_id",
+                      default_rate: float = 0.0,
+                      salt: str = "sample:v1",
+                      table: str = "documents") -> str:
+    """DuckDB twin of :func:`stratified_sample` (count + id-sum per
+    stratum — compact but value-pinning: any single different keep
+    decision changes the sum)."""
+    expr = f"CAST({default_rate} * {U32} AS BIGINT)"
+    for stratum, rate in sorted(rates.items()):
+        expr = (f"CASE WHEN {stratum_col} = '{stratum}' THEN "
+                f"CAST({rate} * {U32} AS BIGINT) ELSE {expr} END")
+    u = (f"CAST(('0x' || substring(md5('{salt}' || ':' || "
+         f"CAST({id_col} AS STRING)), 1, 8))::VARCHAR::UBIGINT AS BIGINT)")
+    return f"""
+    SELECT {stratum_col} AS stratum,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM({id_col}) AS BIGINT) AS id_sum
+    FROM {table}
+    WHERE {u} < ({expr})
+    GROUP BY {stratum_col}"""
+
+
+def split_oracle_sql(heldout_frac: float, *, id_col: str = "doc_id",
+                     salt: str = "split:v1",
+                     table: str = "documents") -> str:
+    """DuckDB twin of :func:`holdout_split` (per-split count + id-sum)."""
+    cut = int(heldout_frac * U32)
+    u = (f"CAST(('0x' || substring(md5('{salt}' || ':' || "
+         f"CAST({id_col} AS STRING)), 1, 8))::VARCHAR::UBIGINT AS BIGINT)")
+    return f"""
+    SELECT CASE WHEN {u} < {cut} THEN 'heldout' ELSE 'train' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM({id_col}) AS BIGINT) AS id_sum
+    FROM {table}
+    GROUP BY 1"""

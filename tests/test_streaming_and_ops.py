@@ -1445,3 +1445,40 @@ def test_hamming_cap_soundness_property(spark):
         assert shared and all(
             buckets[(bb, (h_of[a] >> (bb * width)) % (1 << width))] > cap
             for bb in shared), (a, b)
+
+def test_sampling_determinism_and_growth_stability(spark):
+    """Round 7 sampling invariants: decisions are partition-invariant
+    and repeatable; the holdout split of existing docs is UNCHANGED when
+    the corpus grows (id-keyed hash); an unlisted stratum falls to the
+    default rate; a different salt draws an independent sample."""
+    from rdf_rdfxml_spark.operators.sampling import (
+        holdout_split, stratified_sample,
+    )
+    docs = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(600)],
+        "doc_id long, lang string")
+    rates = {"a": 0.5, "b": 0.1}
+    kept1 = {r["doc_id"] for r in stratified_sample(
+        docs, rates, stratum_col="lang", default_rate=0.0).collect()}
+    kept2 = {r["doc_id"] for r in stratified_sample(
+        docs.repartition(13), rates, stratum_col="lang",
+        default_rate=0.0).collect()}
+    assert kept1 == kept2 and kept1            # deterministic
+    assert not any(d % 3 == 2 for d in kept1)  # stratum 'c' -> default 0
+    a_kept = sum(1 for d in kept1 if d % 3 == 0)
+    b_kept = sum(1 for d in kept1 if d % 3 == 1)
+    assert 60 <= a_kept <= 140 and b_kept <= 50   # rates in the ballpark
+    other = {r["doc_id"] for r in stratified_sample(
+        docs, rates, stratum_col="lang", default_rate=0.0,
+        salt="sample:v2").collect()}
+    assert other != kept1                      # independent under resalt
+
+    split1 = {r["doc_id"]: r["split"]
+              for r in holdout_split(docs, 0.1).collect()}
+    grown = docs.unionByName(spark.createDataFrame(
+        [(i, "a") for i in range(600, 900)], "doc_id long, lang string"))
+    split2 = {r["doc_id"]: r["split"]
+              for r in holdout_split(grown, 0.1).collect()}
+    assert all(split2[d] == s for d, s in split1.items())  # growth-stable
+    frac = sum(1 for s in split2.values() if s == "heldout") / len(split2)
+    assert 0.05 <= frac <= 0.16
