@@ -907,6 +907,32 @@ def q_holdout_split(spark, sf_dir):
                  F.sum("doc_id").alias("id_sum")))
 
 
+def q_corpus_decontaminate(spark, sf_dir):
+    # Eval-set decontamination (round 7): the pre-training hygiene
+    # stage — flag every document sharing an 8-token n-gram with the
+    # benchmark suite (here: the deterministic doc_id%10==3 slice of
+    # the corpus standing in as "the eval set", so contamination is
+    # guaranteed present: the slice itself plus its near-dup copies).
+    # Broadcast blocklist, generator explode, no raw-string shuffle;
+    # the oracle rebuilds the identical n-grams in DuckDB.
+    from rdf_rdfxml_spark.operators.decontam import decontaminate
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    eval_texts = docs.filter("doc_id % 10 = 3")
+    return decontaminate(docs, eval_texts, n=8)
+
+
+def q_corpus_token_packing(spark, sf_dir):
+    # Concatenate-and-chunk packing (round 7): per-doc global token
+    # offsets + context-window span (context_len=512) via the
+    # two-level prefix scan — the only global window runs over the
+    # tiny per-bucket sums, never the corpus (packing.py docstring).
+    # The oracle is the plain window-cumsum formulation; value
+    # equality proves the distributed scan exact.
+    from rdf_rdfxml_spark.operators.packing import pack_token_chunks
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return pack_token_chunks(docs, context_len=512, bucket_size=64)
+
+
 def q_stream_image_neardup(spark, sf_dir):
     # Streaming IMAGE near-dup (round 7): decode + dHash + Hamming band
     # split in ONE in-stream mapInArrow stage → the shared epoch-
@@ -1726,6 +1752,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic corpus-mix composition (round 7)
         "corpus_sample_stratified": q_corpus_sample,
         "corpus_holdout_split": q_holdout_split,
+        # pre-training hygiene + stream assembly (round 7)
+        "corpus_decontaminate": q_corpus_decontaminate,
+        "corpus_token_packing": q_corpus_token_packing,
     }
 
 
@@ -2231,4 +2260,11 @@ def _all_oracle_sql() -> dict[str, str]:
     oracles["corpus_sample_stratified"] = sample_oracle_sql(
         _SAMPLE_RATES, stratum_col="lang", default_rate=0.05)
     oracles["corpus_holdout_split"] = split_oracle_sql(0.1)
+    from rdf_rdfxml_spark.operators.decontam import (
+        decontaminate_oracle_sql,
+    )
+    oracles["corpus_decontaminate"] = decontaminate_oracle_sql(
+        n=8, eval_pred="doc_id % 10 = 3")
+    from rdf_rdfxml_spark.operators.packing import pack_oracle_sql
+    oracles["corpus_token_packing"] = pack_oracle_sql(context_len=512)
     return oracles

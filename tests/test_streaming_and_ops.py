@@ -1482,3 +1482,57 @@ def test_sampling_determinism_and_growth_stability(spark):
     assert all(split2[d] == s for d, s in split1.items())  # growth-stable
     frac = sum(1 for s in split2.values() if s == "heldout") / len(split2)
     assert 0.05 <= frac <= 0.16
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    """Round 7 decontamination: a doc sharing an 8-gram with the eval
+    set is flagged with the exact distinct-gram count; clean docs and
+    sub-n docs emit no row; the left_anti composition is the clean
+    corpus; result is partition-invariant."""
+    from rdf_rdfxml_spark.operators.decontam import decontaminate
+    ev = "q w e r t y u i o p"              # 10 tokens -> 3 8-grams
+    docs = spark.createDataFrame(
+        [(1, "zz " + ev + " zz"),           # contains all 3 eval 8-grams
+         (2, "q w e r t y u i nope"),       # shares exactly 1 (toks 1-8)
+         (3, "totally clean text with many distinct words here ok"),
+         (4, "q w e r t y u"),              # 7 tokens: sub-n, never flagged
+         (5, "Q W E R T Y U I o p")],       # case-folded -> all 3 again
+        "doc_id long, text string")
+    eval_texts = spark.createDataFrame([(0, ev)], "eval_id long, text string")
+    got = {r["doc_id"]: r["n_hit_ngrams"]
+           for r in decontaminate(docs, eval_texts, n=8).collect()}
+    assert got == {1: 3, 2: 1, 5: 3}
+    got13 = {r["doc_id"]: r["n_hit_ngrams"]
+             for r in decontaminate(docs.repartition(13), eval_texts,
+                                    n=8).collect()}
+    assert got13 == got
+    clean = decontaminate(docs, eval_texts, n=8)
+    survivors = {r["doc_id"] for r in
+                 docs.join(clean, "doc_id", "left_anti").collect()}
+    assert survivors == {3, 4}
+
+
+def test_pack_token_chunks_matches_bruteforce(spark):
+    """Round 7 packing: the two-level prefix scan equals the plain
+    cumsum on sparse ids, empty docs, and boundary-straddling docs —
+    with a small bucket_size so multiple buckets are really exercised."""
+    import random
+    from rdf_rdfxml_spark.operators.packing import pack_token_chunks
+    rng = random.Random(7)
+    rows, ids = [], sorted(rng.sample(range(0, 500), 40))
+    for i in ids:                            # sparse, uneven buckets
+        k = rng.choice([0, 1, 3, 7, 12, 25])
+        rows.append((i, " ".join(f"w{j}" for j in range(k))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["start_offset"],
+                         r["first_chunk"], r["last_chunk"], r["n_chunks"])
+           for r in pack_token_chunks(docs, context_len=16,
+                                      bucket_size=3).collect()}
+    off = 0
+    for i, text in rows:                     # brute-force reference
+        n = len([t for t in text.split(" ") if t])
+        first = off // 16
+        last = (off + n - 1) // 16 if n else first
+        assert got[i] == (n, off, first, last, last - first + 1), i
+        off += n
+    assert len(got) == len(rows)
