@@ -145,6 +145,30 @@ def main():
     )
     video_neardup_candidates(
         synth_neardup_video(spark, 24)).explain("formatted")
+
+    print("=" * 72)
+    print("13. eval-set decontamination (round 7) — pruned (id, text) "
+          "scans, n-gram GENERATOR explode inside codegen, eval side "
+          "BroadcastExchange, partial-agg countDistinct: the only "
+          "shuffle carries (doc_id, gram-count) partials, never raw "
+          "n-gram strings from the corpus side")
+    print("=" * 72)
+    from rdf_rdfxml_spark.operators.decontam import decontaminate
+    dd = docs.select("doc_id", "text")
+    decontaminate(dd, dd.filter("doc_id % 10 = 3"), n=8) \
+        .explain("formatted")
+
+    print("=" * 72)
+    print("14. token packing (round 7) — two-level prefix scan: the "
+          "only SinglePartition window is over the per-bucket sums "
+          "(n_docs/bucket_size rows); the corpus window is partitioned "
+          "by bucket and the bucket offsets come back via "
+          "BroadcastExchange")
+    print("=" * 72)
+    from rdf_rdfxml_spark.operators.packing import pack_token_chunks
+    pack_token_chunks(docs.select("doc_id", "text"),
+                      context_len=512, bucket_size=64) \
+        .explain("formatted")
     spark.stop()
 
 
