@@ -933,6 +933,17 @@ def q_corpus_token_packing(spark, sf_dir):
     return pack_token_chunks(docs, context_len=512, bucket_size=64)
 
 
+def q_chunk_manifest(spark, sf_dir):
+    # Dataloader-side inversion of the packing scan (round 7): one row
+    # per context window with the documents feeding it and their token
+    # contributions — the "which documents feed chunk k" range query.
+    # Fan-out is total_tokens/context_len + n_docs (linear); the oracle
+    # replays the overlap arithmetic over a guarded constant series.
+    from rdf_rdfxml_spark.operators.packing import chunk_manifest
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return chunk_manifest(docs, context_len=512, bucket_size=64)
+
+
 def q_stream_image_neardup(spark, sf_dir):
     # Streaming IMAGE near-dup (round 7): decode + dHash + Hamming band
     # split in ONE in-stream mapInArrow stage → the shared epoch-
@@ -1755,6 +1766,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pre-training hygiene + stream assembly (round 7)
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_token_packing": q_corpus_token_packing,
+        "corpus_chunk_manifest": q_chunk_manifest,
     }
 
 
@@ -2265,6 +2277,9 @@ def _all_oracle_sql() -> dict[str, str]:
     )
     oracles["corpus_decontaminate"] = decontaminate_oracle_sql(
         n=8, eval_pred="doc_id % 10 = 3")
-    from rdf_rdfxml_spark.operators.packing import pack_oracle_sql
+    from rdf_rdfxml_spark.operators.packing import (
+        manifest_oracle_sql, pack_oracle_sql,
+    )
     oracles["corpus_token_packing"] = pack_oracle_sql(context_len=512)
+    oracles["corpus_chunk_manifest"] = manifest_oracle_sql(context_len=512)
     return oracles

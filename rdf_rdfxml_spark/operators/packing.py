@@ -96,6 +96,97 @@ def pack_token_chunks(docs: DataFrame, *, context_len: int = 512,
                  F.col("last_chunk") - F.col("first_chunk") + F.lit(1))
 
 
+def chunk_manifest(docs: DataFrame, *, context_len: int = 512,
+                   bucket_size: int = 64,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Invert :func:`pack_token_chunks` to the dataloader's question:
+    for every context window ("chunk") of the concatenated token
+    stream, which documents feed it and with how many tokens.
+
+    One row per chunk: ``(chunk_id, n_docs, chunk_tokens, min_doc_id,
+    max_doc_id)``. Every chunk except possibly the last has
+    ``chunk_tokens == context_len`` by construction — the test-suite
+    invariant. Empty documents feed no chunk.
+
+    Scale shape: the per-document explode emits ``n_chunks`` rows,
+    so the total fan-out is ``total_tokens / context_len + n_docs``
+    — linear in the corpus, never quadratic — and the chunk_id
+    groupBy is a partial-agg hash aggregation whose per-key width is
+    bounded by ``context_len + 1`` feeding documents (a chunk can't
+    hold more docs than tokens). No skew possible by construction.
+    """
+    spans = pack_token_chunks(docs, context_len=context_len,
+                              bucket_size=bucket_size, id_col=id_col,
+                              text_col=text_col)
+    ln = F.lit(context_len).cast("bigint")
+    fed = (spans.filter(F.col("n_tokens") > 0)
+           .select(F.col(id_col), "n_tokens", "start_offset",
+                   F.explode(F.expr("sequence(first_chunk, last_chunk)"))
+                   .alias("chunk_id")))
+    tokens_in = (
+        F.least(F.col("start_offset") + F.col("n_tokens"),
+                (F.col("chunk_id") + 1) * ln)
+        - F.greatest(F.col("start_offset"), F.col("chunk_id") * ln))
+    return (fed.withColumn("_tok_in", tokens_in)
+            .groupBy("chunk_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("_tok_in").alias("chunk_tokens"),
+                 F.min(id_col).alias("min_doc_id"),
+                 F.max(id_col).alias("max_doc_id")))
+
+
+# Any single document spanning more than this many chunks trips the
+# oracle's loud guard (constant generate_series bound — DuckDB takes
+# no lateral column args). 64 chunks × context_len 512 = 32k tokens.
+ORACLE_SPAN_BOUND = 64
+
+
+def manifest_oracle_sql(*, context_len: int = 512,
+                        table: str = "documents",
+                        span_bound: int = ORACLE_SPAN_BOUND) -> str:
+    """DuckDB twin of :func:`chunk_manifest`: the pack cumsum CTE, a
+    constant 0..span_bound-1 series standing in for the per-doc chunk
+    explode (guard CTE errors loudly if any document spans more), and
+    the same least/greatest overlap arithmetic. COUNT/SUM cast to
+    BIGINT (DuckDB SUM(BIGINT) widens to HUGEINT)."""
+    ln = context_len
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM {table}),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS start_offset
+      FROM tok),
+    _spanguard AS (
+      SELECT CASE WHEN MAX((n_tokens - 1) // {ln}) + 1 > {span_bound}
+             THEN error('oracle span bound {span_bound} exceeded')
+             ELSE 1 END AS ok
+      FROM tok WHERE n_tokens > 0),
+    fed AS (
+      SELECT doc_id, n_tokens, start_offset,
+             start_offset // {ln} + j AS chunk_id
+      FROM c, _spanguard, generate_series(0, {span_bound - 1}) AS g(j)
+      WHERE _spanguard.ok = 1 AND n_tokens > 0
+        AND start_offset // {ln} + j
+              <= (start_offset + n_tokens - 1) // {ln})
+    SELECT chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEAST(start_offset + n_tokens,
+                          (chunk_id + 1) * {ln})
+                    - GREATEST(start_offset, chunk_id * {ln}))
+                AS BIGINT) AS chunk_tokens,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM fed GROUP BY chunk_id"""
+
+
 def pack_oracle_sql(*, context_len: int = 512,
                     table: str = "documents") -> str:
     """DuckDB twin: the two-level scan collapses to a plain window

@@ -1536,3 +1536,39 @@ def test_pack_token_chunks_matches_bruteforce(spark):
         assert got[i] == (n, off, first, last, last - first + 1), i
         off += n
     assert len(got) == len(rows)
+
+
+def test_chunk_manifest_matches_bruteforce(spark):
+    """Round 7 manifest: the chunk->docs inversion equals a brute-force
+    token-stream walk; every interior chunk carries exactly context_len
+    tokens; empty docs feed no chunk."""
+    import random
+    from rdf_rdfxml_spark.operators.packing import chunk_manifest
+    rng = random.Random(11)
+    rows = []
+    for i in sorted(rng.sample(range(0, 300), 30)):
+        k = rng.choice([0, 1, 2, 5, 9, 17, 40])   # 40 straddles 16-chunks
+        rows.append((i, " ".join(f"w{j}" for j in range(k))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["chunk_id"]: (r["n_docs"], r["chunk_tokens"],
+                           r["min_doc_id"], r["max_doc_id"])
+           for r in chunk_manifest(docs, context_len=16,
+                                   bucket_size=3).collect()}
+    # brute force: walk the concatenated stream
+    want = {}
+    off = 0
+    for i, text in rows:
+        n = len([t for t in text.split(" ") if t])
+        if n == 0:
+            continue
+        for c in range(off // 16, (off + n - 1) // 16 + 1):
+            toks = min(off + n, (c + 1) * 16) - max(off, c * 16)
+            nd, tt, mn, mx = want.get(c, (0, 0, i, i))
+            want[c] = (nd + 1, tt + toks, min(mn, i), max(mx, i))
+        off += n
+    assert got == want
+    last_chunk = max(got)
+    for c, (_, toks, _, _) in got.items():
+        if c != last_chunk:
+            assert toks == 16, c                 # interior chunks full
+    assert sum(t for _, t, _, _ in got.values()) == off  # total tokens
