@@ -933,6 +933,17 @@ def q_corpus_token_packing(spark, sf_dir):
     return pack_token_chunks(docs, context_len=512, bucket_size=64)
 
 
+def q_corpus_mix_plan(spark, sf_dir):
+    # Temperature-based corpus mixture plan (round 7): per-language
+    # token counts -> sqrt-temperature sampling weights in exact ppm +
+    # token allocation under a 1M budget. Integer-exact cross-engine
+    # (floor(sqrt*1000) then pure BIGINT math — no libm-pow seam).
+    from rdf_rdfxml_spark.operators.sampling import mix_plan
+    docs = _docs(spark, sf_dir).select("lang", "text")
+    return mix_plan(docs, stratum_col="lang", alpha="sqrt",
+                    token_budget=1_000_000)
+
+
 def q_chunk_manifest(spark, sf_dir):
     # Dataloader-side inversion of the packing scan (round 7): one row
     # per context window with the documents feeding it and their token
@@ -1767,6 +1778,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_token_packing": q_corpus_token_packing,
         "corpus_chunk_manifest": q_chunk_manifest,
+        "corpus_mix_plan": q_corpus_mix_plan,
     }
 
 
@@ -2282,4 +2294,7 @@ def _all_oracle_sql() -> dict[str, str]:
     )
     oracles["corpus_token_packing"] = pack_oracle_sql(context_len=512)
     oracles["corpus_chunk_manifest"] = manifest_oracle_sql(context_len=512)
+    from rdf_rdfxml_spark.operators.sampling import mix_plan_oracle_sql
+    oracles["corpus_mix_plan"] = mix_plan_oracle_sql(
+        stratum_col="lang", alpha="sqrt", token_budget=1_000_000)
     return oracles

@@ -70,6 +70,88 @@ def holdout_split(docs: DataFrame, heldout_frac: float, *,
                f"THEN 'heldout' ELSE 'train' END"))
 
 
+_NTOK = ("CAST(size(filter(split({text_col}, ' '), t -> t <> '')) "
+         "AS BIGINT)")
+
+
+def mix_plan(docs: DataFrame, *, stratum_col: str = "source",
+             text_col: str = "text", alpha: str = "sqrt",
+             token_budget: int = 1_000_000) -> DataFrame:
+    """Temperature-based corpus mixture plan: per-stratum token counts
+    and the sampling weights a multinomial data mixer would draw with
+    (the standard ``p_d ∝ n_d^alpha`` rule — ``alpha='sqrt'`` (0.5)
+    up-weights small domains, ``'linear'`` (1.0) is proportional).
+
+    One row per stratum: ``(stratum, n_docs, n_tokens, weight_ppm,
+    alloc_tokens)`` — weight in exact parts-per-million and the token
+    allocation under ``token_budget``.
+
+    Cross-engine exactness: generic ``pow(x, a)`` is libm-dependent
+    (JVM vs DuckDB can differ in the last ulp, which an integer cast
+    amplifies), so only exponents with IEEE-exact kernels are offered:
+    ``sqrt`` is correctly rounded everywhere, and the weight is
+    immediately floored to an integer (``floor(sqrt(n)*1000)``) so ALL
+    downstream arithmetic is BIGINT-exact in both engines — the same
+    no-libm-seam discipline as tfidf's rational idf. Integer headroom:
+    products stay < 2^63 while total weight < ~9.2e12 — sqrt
+    compression keeps 100 TB corpora (~1e13 tokens/stratum → w ~ 3e9)
+    far inside; 'linear' callers beyond ~9e12 total tokens should
+    pre-scale.
+
+    Scale shape: one partial-agg pass over the corpus; the global
+    total is a window over the TINY per-stratum aggregate (n_strata
+    rows on one task — never the corpus), so the corpus is scanned
+    exactly once.
+    """
+    assert alpha in ("sqrt", "linear"), alpha
+    assert token_budget > 0
+    ntok = F.expr(_NTOK.format(text_col=text_col))
+    s = (docs.groupBy(F.col(stratum_col).alias("stratum"))
+         .agg(F.count("*").alias("n_docs"),
+              F.sum(ntok).alias("n_tokens")))
+    if alpha == "sqrt":
+        w = F.expr("CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000.0) "
+                   "AS BIGINT)")
+    else:
+        w = F.col("n_tokens")
+    from pyspark.sql import Window
+    w_all = (Window.partitionBy(F.lit(1)).orderBy(F.lit(1))
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    return (s.withColumn("_w", w)
+            .withColumn("_tot", F.sum("_w").over(w_all))
+            .select("stratum", "n_docs", "n_tokens",
+                    F.expr("(_w * 1000000) DIV _tot").alias("weight_ppm"),
+                    F.expr(f"({token_budget} * _w) DIV _tot")
+                    .alias("alloc_tokens")))
+
+
+def mix_plan_oracle_sql(*, stratum_col: str = "source",
+                        text_col: str = "text", alpha: str = "sqrt",
+                        token_budget: int = 1_000_000,
+                        table: str = "documents") -> str:
+    """DuckDB twin of :func:`mix_plan` — identical IEEE sqrt + floor,
+    then pure BIGINT arithmetic (``//`` floors like Spark's ``DIV`` on
+    the non-negative weights; SUM widens to HUGEINT, cast back)."""
+    assert alpha in ("sqrt", "linear"), alpha
+    ntok = (f"CAST(len(list_filter(string_split({text_col}, ' '), "
+            f"t -> t <> '')) AS BIGINT)")
+    w = ("CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000.0) AS BIGINT)"
+         if alpha == "sqrt" else "n_tokens")
+    return f"""
+    WITH s AS (
+      SELECT {stratum_col} AS stratum,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM({ntok}) AS BIGINT) AS n_tokens
+      FROM {table} GROUP BY 1),
+    w AS (SELECT *, {w} AS w FROM s),
+    t AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM w)
+    SELECT stratum, n_docs, n_tokens,
+           CAST((w * 1000000) // tot AS BIGINT) AS weight_ppm,
+           CAST(({token_budget} * w) // tot AS BIGINT) AS alloc_tokens
+    FROM w, t"""
+
+
 def sample_oracle_sql(rates: dict, *, stratum_col: str = "source",
                       id_col: str = "doc_id",
                       default_rate: float = 0.0,

@@ -1572,3 +1572,35 @@ def test_chunk_manifest_matches_bruteforce(spark):
         if c != last_chunk:
             assert toks == 16, c                 # interior chunks full
     assert sum(t for _, t, _, _ in got.values()) == off  # total tokens
+
+
+def test_mix_plan_integer_exact(spark):
+    """Round 7 mix plan: sqrt-temperature weights match exact Python
+    integer math; ppm sums to ~1e6; sqrt up-weights the small stratum
+    vs its linear share."""
+    import math
+    from rdf_rdfxml_spark.operators.sampling import mix_plan
+    rows = []
+    sizes = {"big": (40, 30), "mid": (10, 12), "tiny": (3, 4)}
+    i = 0
+    for lang, (n, k) in sizes.items():
+        for _ in range(n):
+            rows.append((i, lang, " ".join(f"t{j}" for j in range(k))))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["stratum"]: r for r in
+           mix_plan(docs, stratum_col="lang", alpha="sqrt",
+                    token_budget=1_000_000).collect()}
+    ntok = {lang: n * k for lang, (n, k) in sizes.items()}
+    wint = {s: math.floor(math.sqrt(nt) * 1000.0) for s, nt in ntok.items()}
+    tot = sum(wint.values())
+    for s, (n, k) in sizes.items():
+        r = got[s]
+        assert (r["n_docs"], r["n_tokens"]) == (n, ntok[s])
+        assert r["weight_ppm"] == wint[s] * 1_000_000 // tot, s
+        assert r["alloc_tokens"] == 1_000_000 * wint[s] // tot, s
+    assert 1_000_000 - 3 <= sum(r["weight_ppm"] for r in got.values()) \
+        <= 1_000_000
+    # temperature effect: tiny stratum's ppm share > its token share
+    tiny_share = ntok["tiny"] * 1_000_000 // sum(ntok.values())
+    assert got["tiny"]["weight_ppm"] > tiny_share
