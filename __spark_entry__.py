@@ -955,6 +955,97 @@ def q_chunk_manifest(spark, sf_dir):
     return chunk_manifest(docs, context_len=512, bucket_size=64)
 
 
+def q_corpus_assembly_stats(spark, sf_dir):
+    # The end-to-end TRAINING-RUN ASSEMBLY pipeline (round 7), composing
+    # the new hygiene/assembly operators the way a real data job chains
+    # them: exact dedup (keep min doc_id per content hash) → eval-set
+    # decontamination (drop every doc sharing an 8-gram with the
+    # benchmark slice) → holdout split (keep the train side) → token
+    # packing of the survivors. One row of per-stage survivor counts +
+    # the final token/chunk budget; the oracle composes each stage's SQL
+    # twin over the same intermediate sets.
+    #
+    # Same persist discipline as training_corpus_stats: each survivor
+    # set persists before its count so the lineage runs once, and
+    # everything unpersists before the constant result row returns.
+    from rdf_rdfxml_spark.operators.decontam import decontaminate
+    from rdf_rdfxml_spark.operators.packing import pack_token_chunks
+    from rdf_rdfxml_spark.operators.sampling import holdout_split
+    docs = (_docs(spark, sf_dir).select("doc_id", "text")
+            .repartition(2 * spark.sparkContext.defaultParallelism)
+            .persist())
+    cached = [docs]
+    try:
+        n_input = docs.count()
+        canon = (docs.groupBy(F.md5("text").alias("h"))
+                 .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+        k1 = docs.join(canon, "doc_id", "left_semi").persist()
+        cached.append(k1)
+        n_exact = k1.count()
+        flagged = decontaminate(k1, docs.filter("doc_id % 10 = 3"), n=8)
+        k2 = k1.join(flagged, "doc_id", "left_anti").persist()
+        cached.append(k2)
+        n_decontam = k2.count()
+        k3 = (holdout_split(k2, 0.1).filter("split = 'train'")
+              .select("doc_id", "text").persist())
+        cached.append(k3)
+        n_train = k3.count()
+        packed = pack_token_chunks(k3, context_len=512, bucket_size=64)
+        row = packed.agg(
+            F.sum("n_tokens").alias("t"),
+            F.max(F.when(F.col("n_tokens") > 0,
+                         F.col("last_chunk"))).alias("lc")).collect()[0]
+        total_tokens = int(row["t"] or 0)
+        n_chunks = int(row["lc"]) + 1 if row["lc"] is not None else 0
+    finally:
+        for df in cached:
+            df.unpersist()
+    return spark.createDataFrame(
+        [(n_input, n_exact, n_decontam, n_train, total_tokens, n_chunks)],
+        "n_input long, n_after_exact long, n_after_decontam long, "
+        "n_train long, total_tokens long, n_chunks long")
+
+
+def _corpus_assembly_oracle() -> str:
+    from rdf_rdfxml_spark.operators.decontam import oracle_gram_list
+    from rdf_rdfxml_spark.operators.sampling import U32
+    grams = oracle_gram_list(8)
+    cut = int(0.1 * U32)
+    u = ("CAST(('0x' || substring(md5('split:v1' || ':' || "
+         "CAST(doc_id AS STRING)), 1, 8))::VARCHAR::UBIGINT AS BIGINT)")
+    return f"""
+    WITH canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    k1 AS (SELECT d.doc_id, d.text FROM documents d
+           JOIN canon c ON c.doc_id = d.doc_id),
+    g AS (
+      SELECT doc_id, unnest({grams}) AS gram
+      FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                       t -> t <> '') AS toks FROM k1)),
+    eg AS (
+      SELECT DISTINCT unnest({grams}) AS gram
+      FROM (SELECT list_filter(string_split(lower(text), ' '),
+                               t -> t <> '') AS toks
+            FROM documents WHERE doc_id % 10 = 3)),
+    contam AS (SELECT DISTINCT doc_id FROM g JOIN eg USING (gram)),
+    k2 AS (SELECT * FROM k1
+           WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+    k3 AS (SELECT * FROM k2 WHERE NOT ({u} < {cut})),
+    tok AS (SELECT CAST(len(list_filter(string_split(text, ' '),
+                                        t -> t <> '')) AS BIGINT) AS n
+            FROM k3)
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_input,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM k1) AS n_after_exact,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM k2) AS n_after_decontam,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM k3) AS n_train,
+      (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM tok)
+        AS total_tokens,
+      (SELECT CAST(CASE WHEN COALESCE(SUM(n), 0) > 0
+                        THEN (SUM(n) + 511) // 512 ELSE 0 END AS BIGINT)
+       FROM tok) AS n_chunks"""
+
+
 def q_stream_image_neardup(spark, sf_dir):
     # Streaming IMAGE near-dup (round 7): decode + dHash + Hamming band
     # split in ONE in-stream mapInArrow stage → the shared epoch-
@@ -1779,6 +1870,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_packing": q_corpus_token_packing,
         "corpus_chunk_manifest": q_chunk_manifest,
         "corpus_mix_plan": q_corpus_mix_plan,
+        "corpus_assembly_stats": q_corpus_assembly_stats,
     }
 
 
@@ -2297,4 +2389,5 @@ def _all_oracle_sql() -> dict[str, str]:
     from rdf_rdfxml_spark.operators.sampling import mix_plan_oracle_sql
     oracles["corpus_mix_plan"] = mix_plan_oracle_sql(
         stratum_col="lang", alpha="sqrt", token_budget=1_000_000)
+    oracles["corpus_assembly_stats"] = _corpus_assembly_oracle()
     return oracles

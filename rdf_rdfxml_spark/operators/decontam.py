@@ -81,13 +81,21 @@ def decontaminate(docs: DataFrame, eval_texts: DataFrame, *, n: int = 8,
             .agg(F.countDistinct("gram").alias("n_hit_ngrams")))
 
 
+def oracle_gram_list(n: int) -> str:
+    """DuckDB list comprehension producing the n-grams of a ``toks``
+    column — the oracle twin of :func:`_ngram_expr` (inclusive list
+    slice ``toks[i:i+n-1]``). Shared by the standalone oracle and the
+    composed corpus-assembly oracle."""
+    return (f"[array_to_string(toks[i:i+{n - 1}], ' ') "
+            f"for i in range(1, greatest(len(toks)-{n - 1}, 0)+1)]")
+
+
 def decontaminate_oracle_sql(*, n: int = 8, eval_pred: str,
                              table: str = "documents") -> str:
     """DuckDB twin: same tokenization, same n-gram window (inclusive
     list slice ``toks[i:i+n-1]``), eval set selected by ``eval_pred``
     over the same table, COUNT(DISTINCT) -> BIGINT both dialects."""
-    grams = (f"[array_to_string(toks[i:i+{n - 1}], ' ') "
-             f"for i in range(1, greatest(len(toks)-{n - 1}, 0)+1)]")
+    grams = oracle_gram_list(n)
     return f"""
     WITH tok AS (
       SELECT doc_id, list_filter(string_split(lower(text), ' '),
