@@ -877,6 +877,47 @@ def q_stream_neardup(spark, sf_dir):
                         "dup_of"))
 
 
+def q_stream_decontaminate(spark, sf_dir):
+    # STREAMING decontamination (round 7): the hygiene stage applied at
+    # ingest — every arriving document is flagged with its distinct
+    # blocked-8-gram count in one STATELESS in-stream mapInArrow stage
+    # (blocklist driver-collected + broadcast; no watermark, no state
+    # store, no shuffle). Two availableNow rounds drive a ts-split
+    # corpus through one checkpoint, so restart/exactly-once is under
+    # the oracle too; since the stage is stateless, the two-round union
+    # trivially equals the batch rule, which the DuckDB oracle computes
+    # (same SQL as corpus_decontaminate).
+    from rdf_rdfxml_spark.operators.decontam import eval_ngram_set
+    from rdf_rdfxml_spark.streaming.stream import (
+        stream_decontaminate_flags,
+    )
+    base = _scratch("stream_decontam")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    grams = [r["gram"] for r in eval_ngram_set(
+        docs.filter("doc_id % 10 = 3"), n=8).collect()]
+    mid = docs.agg(F.max("doc_id")).first()[0] // 2
+    docs.filter(F.col("doc_id") <= mid).repartition(4).write.parquet(in_dir)
+
+    def run_round():
+        stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+        q = (stream_decontaminate_flags(stream, grams, n=8)
+             .writeStream.option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start(out_dir, format="parquet", outputMode="append"))
+        q.awaitTermination()
+
+    run_round()
+    (docs.filter(F.col("doc_id") > mid).repartition(4)
+     .write.mode("append").parquet(in_dir))
+    run_round()  # restart from checkpoint; picks up only the new files
+    return (spark.read.parquet(out_dir)
+            .filter("n_hit_ngrams > 0")
+            .select("doc_id", "n_hit_ngrams"))
+
+
 _SAMPLE_RATES = {"en": 0.8, "zh": 0.5, "es": 0.25, "de": 0.1}
 
 
@@ -1871,6 +1912,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_chunk_manifest": q_chunk_manifest,
         "corpus_mix_plan": q_corpus_mix_plan,
         "corpus_assembly_stats": q_corpus_assembly_stats,
+        "stream_decontaminate": q_stream_decontaminate,
     }
 
 
@@ -2390,4 +2432,7 @@ def _all_oracle_sql() -> dict[str, str]:
     oracles["corpus_mix_plan"] = mix_plan_oracle_sql(
         stratum_col="lang", alpha="sqrt", token_budget=1_000_000)
     oracles["corpus_assembly_stats"] = _corpus_assembly_oracle()
+    # stateless streaming arm == the batch rule, same SQL twin
+    oracles["stream_decontaminate"] = decontaminate_oracle_sql(
+        n=8, eval_pred="doc_id % 10 = 3")
     return oracles

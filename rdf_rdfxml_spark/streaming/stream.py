@@ -310,3 +310,65 @@ def stream_media_neardup_flags(media_stream: DataFrame, signature, *,
             .applyInPandasWithState(
                 update, out_schema, state_schema, "append",
                 GroupStateTimeout.EventTimeTimeout))
+
+
+def stream_decontaminate_flags(docs_stream: DataFrame, eval_grams, *,
+                               n: int = 8, id_col: str = "doc_id",
+                               text_col: str = "text") -> DataFrame:
+    """STATELESS streaming decontamination: each arriving document is
+    flagged with its count of DISTINCT blocked token n-grams, at ingest,
+    with ZERO streaming state.
+
+    The batch operator (operators/decontam.py) joins against a broadcast
+    blocklist; the streaming arm goes one step further: benchmark suites
+    are model-sized (MBs — the same argument as ANN centroids), so the
+    distinct eval n-grams are DRIVER-collected and shipped once per
+    executor as a broadcast variable, and the whole per-document
+    computation happens inside one in-stream mapInArrow projection. No
+    watermark, no state store, no shuffle — exactly-once comes free
+    from the file-source checkpoint, and a restart replays only unseen
+    files.
+
+    Tokenization matches the batch/oracle rule (``lower`` → single-space
+    split → drop empties → space-joined n-grams). The in-stage fold uses
+    Python ``str.lower``, which agrees with SQL ``lower`` on the ASCII
+    corpus the gate runs (documented seam — exotic locale-sensitive
+    codepoints could diverge; the blocklist itself is built by the SQL
+    side, so both engines' oracles stay self-consistent).
+
+    Per-document isolation (CLAUDE.md): null/absent text folds to zero
+    tokens; nothing in the stage can raise on hostile input.
+
+    Output: ``(doc_id, n_hit_ngrams)`` for EVERY document (0 = clean),
+    so the stream is a pure enrichment; filtering ``n_hit_ngrams > 0``
+    reproduces the batch operator's contaminated set exactly.
+    """
+    import pyarrow as pa
+
+    spark = docs_stream.sparkSession
+    bl = spark.sparkContext.broadcast(frozenset(eval_grams))
+
+    def fn(it):
+        blocked = bl.value
+        for rb in it:
+            ids = rb.column(rb.schema.get_field_index(id_col))
+            texts = rb.column(rb.schema.get_field_index(text_col))
+            out_id, out_n = [], []
+            for k in range(rb.num_rows):
+                tx = texts[k].as_py() or ""
+                toks = [t for t in tx.lower().split(" ") if t]
+                if len(toks) >= n:
+                    hits = len({" ".join(toks[j:j + n])
+                                for j in range(len(toks) - n + 1)}
+                               & blocked)
+                else:
+                    hits = 0
+                out_id.append(ids[k].as_py())
+                out_n.append(hits)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_id, type=pa.int64()),
+                 pa.array(out_n, type=pa.int64())],
+                names=[id_col, "n_hit_ngrams"])
+
+    return (docs_stream.select(id_col, text_col)
+            .mapInArrow(fn, schema=f"{id_col} long, n_hit_ngrams long"))

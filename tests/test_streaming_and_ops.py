@@ -1574,6 +1574,45 @@ def test_chunk_manifest_matches_bruteforce(spark):
     assert sum(t for _, t, _, _ in got.values()) == off  # total tokens
 
 
+def test_stream_decontaminate_matches_batch_and_survives_nulls(spark, tmp_path):
+    """Round 7 streaming decontamination: the stateless in-stream flag
+    stage equals the batch operator's contaminated set (same counts),
+    emits a zero row for clean docs, and a null text never kills the
+    stream."""
+    from rdf_rdfxml_spark.operators.decontam import (
+        decontaminate, eval_ngram_set,
+    )
+    from rdf_rdfxml_spark.streaming.stream import (
+        stream_decontaminate_flags,
+    )
+    ev = "q w e r t y u i o p"
+    docs = spark.createDataFrame(
+        [(1, "zz " + ev + " zz"),
+         (2, "q w e r t y u i nope"),
+         (3, "totally clean text with many distinct words here ok"),
+         (4, None),                          # hostile: null text
+         (5, "Q W E R T Y U I o p")],
+        "doc_id long, text string")
+    eval_texts = spark.createDataFrame([(0, ev)],
+                                       "eval_id long, text string")
+    grams = [r["gram"] for r in eval_ngram_set(eval_texts, n=8).collect()]
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs.write.parquet(in_dir)
+    stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+    q = (stream_decontaminate_flags(stream, grams, n=8)
+         .writeStream.option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start(out_dir, format="parquet", outputMode="append"))
+    q.awaitTermination()
+    got = {r["doc_id"]: r["n_hit_ngrams"]
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == {1: 3, 2: 1, 3: 0, 4: 0, 5: 3}   # enrichment: all rows
+    batch = {r["doc_id"]: r["n_hit_ngrams"]
+             for r in decontaminate(docs, eval_texts, n=8).collect()}
+    assert {d: c for d, c in got.items() if c > 0} == batch
+
+
 def test_mix_plan_integer_exact(spark):
     """Round 7 mix plan: sqrt-temperature weights match exact Python
     integer math; ppm sums to ~1e6; sqrt up-weights the small stratum
