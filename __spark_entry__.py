@@ -877,6 +877,82 @@ def q_stream_neardup(spark, sf_dir):
                         "dup_of"))
 
 
+def q_stream_embedding_neardup(spark, sf_dir):
+    # Streaming EMBEDDING near-dup (round 7): 16 sign bits vs the first
+    # 16 embeddings as hyperplanes (data-derived, like ann_lsh_bucketed)
+    # -> 4 contiguous 4-bit bands -> the shared epoch state function.
+    # Same two-round checkpoint protocol as the other stream_* cells;
+    # the oracle replays the sign bits in SQL (list_dot_product's
+    # sequential fold == the stage's left-fold dot, the proven ANN
+    # parity shape) and applies the MIN(vec_id) epoch rule.
+    from rdf_rdfxml_spark.streaming.stream import (
+        stream_embedding_neardup_flags,
+    )
+    base = _scratch("stream_emb_neardup")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    emb = (spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+           .selectExpr("vec_id", "embedding",
+                       "timestamp_seconds(1700000000 + vec_id) "
+                       "AS ingested_at"))
+    planes = [[float(x) for x in r["embedding"]] for r in
+              emb.orderBy("vec_id").limit(16).select("embedding")
+              .collect()]
+    mid = emb.agg(F.max("vec_id")).first()[0] // 2
+    emb.filter(F.col("vec_id") <= mid).repartition(4).write.parquet(in_dir)
+
+    def run_round():
+        stream = spark.readStream.schema(emb.schema).parquet(in_dir)
+        q = (stream_embedding_neardup_flags(stream, planes)
+             .writeStream.option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start(out_dir, format="parquet", outputMode="append"))
+        q.awaitTermination()
+
+    run_round()
+    (emb.filter(F.col("vec_id") > mid).repartition(4)
+     .write.mode("append").parquet(in_dir))
+    run_round()  # restart from checkpoint; picks up only the new files
+    return (spark.read.parquet(out_dir)
+            .selectExpr("vec_id", "CAST(band_id AS INT) AS band_id",
+                        "dup_of"))
+
+
+def stream_embedding_neardup_oracle_sql(*, n_planes: int = 16,
+                                        n_bands: int = 4) -> str:
+    """DuckDB twin of q_stream_embedding_neardup: sign bits from
+    list_dot_product (same sequential fold as the stage), contiguous
+    bit-bands, and the per-bucket MIN(vec_id) epoch rule (ts is
+    monotone in vec_id and the gate corpus spans < 1 h, so the bucket
+    minimum is the epoch first). POW(2, plane_id) relies on the dense
+    vec_id 0..15 plane slice — the same assumption lsh_topk_oracle_sql
+    pins."""
+    width = n_planes // n_bands
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes AS (SELECT vec_id AS plane_id, v AS pv FROM e
+               ORDER BY vec_id LIMIT {n_planes}),
+    sig AS (
+      SELECT e.vec_id,
+             CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                      THEN CAST(POW(2, p.plane_id) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS s
+      FROM e, planes p GROUP BY e.vec_id),
+    bands AS (
+      SELECT vec_id, CAST(b AS INTEGER) AS band_id,
+             (s >> CAST(b * {width} AS INTEGER)) % {2 ** width}
+               AS band_value
+      FROM sig, generate_series(0, {n_bands - 1}) AS g(b)),
+    firsts AS (
+      SELECT band_id, band_value, MIN(vec_id) AS first_id
+      FROM bands GROUP BY band_id, band_value)
+    SELECT b.vec_id, b.band_id, f.first_id AS dup_of
+    FROM bands b JOIN firsts f
+      ON f.band_id = b.band_id AND f.band_value = b.band_value
+    WHERE b.vec_id != f.first_id"""
+
+
 def q_stream_decontaminate(spark, sf_dir):
     # STREAMING decontamination (round 7): the hygiene stage applied at
     # ingest — every arriving document is flagged with its distinct
@@ -1913,6 +1989,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix_plan": q_corpus_mix_plan,
         "corpus_assembly_stats": q_corpus_assembly_stats,
         "stream_decontaminate": q_stream_decontaminate,
+        "stream_embedding_neardup": q_stream_embedding_neardup,
     }
 
 
@@ -2435,4 +2512,6 @@ def _all_oracle_sql() -> dict[str, str]:
     # stateless streaming arm == the batch rule, same SQL twin
     oracles["stream_decontaminate"] = decontaminate_oracle_sql(
         n=8, eval_pred="doc_id % 10 = 3")
+    oracles["stream_embedding_neardup"] = \
+        stream_embedding_neardup_oracle_sql()
     return oracles

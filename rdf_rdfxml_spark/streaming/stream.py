@@ -372,3 +372,85 @@ def stream_decontaminate_flags(docs_stream: DataFrame, eval_grams, *,
 
     return (docs_stream.select(id_col, text_col)
             .mapInArrow(fn, schema=f"{id_col} long, n_hit_ngrams long"))
+
+
+def stream_embedding_neardup_flags(emb_stream: DataFrame, planes, *,
+                                   watermark: str = "1 hour",
+                                   horizon_seconds: int = 3600,
+                                   ts_col: str = "ingested_at",
+                                   n_bands: int = 4,
+                                   id_col: str = "vec_id",
+                                   vec_col: str = "embedding") -> DataFrame:
+    """Streaming EMBEDDING near-dup: random-hyperplane sign-bit
+    signature (bit i set iff ``dot(v, planes[i]) >= 0``) computed in
+    the in-stream Arrow stage against DRIVER-held plane vectors
+    (model-sized, like ANN centroids — broadcast once per executor),
+    then contiguous bit-bands into the shared epoch-deterministic state
+    function. With text MinHash + image/audio/video Hamming bands this
+    covers every near-dup modality in streaming.
+
+    Cross-engine exactness: the dot is a SEQUENTIAL left-fold
+    (``s += a*b`` term by term), the same IEEE op order as DuckDB's
+    ``list_dot_product`` and the Spark HOF fold the batch ANN oracles
+    already pin — so the oracle reproduces every sign bit. The raw dot
+    (not cosine) decides the bit: same sign, and no 0/0 NaN seam for
+    zero vectors (dot 0 -> bit set, both engines).
+
+    State shape: one (first_id, ts) epoch per live (band_id,
+    band_value) bucket — bounded by the band-value space and the
+    event-time horizon, never by corpus size; each arrival emits at
+    most n_bands flags, so output is linear in arrivals even when a
+    band bucket is enormous (no pair explosion by construction).
+    """
+    import pyarrow as pa
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    n_bits = len(planes)
+    assert n_bits % n_bands == 0
+    width = n_bits // n_bands
+    bl = emb_stream.sparkSession.sparkContext.broadcast(
+        [[float(x) for x in p] for p in planes])
+
+    def fn(it):
+        ps = bl.value
+        for rb in it:
+            ids = rb.column(rb.schema.get_field_index(id_col))
+            vecs = rb.column(rb.schema.get_field_index(vec_col))
+            ts = rb.column(rb.schema.get_field_index(ts_col))
+            out_id, out_band, out_val, out_idx = [], [], [], []
+            for k in range(rb.num_rows):
+                v = vecs[k].as_py() or []
+                sig = 0
+                for i, p in enumerate(ps):
+                    s = 0.0
+                    for a, b in zip(v, p):  # sequential fold — see doc
+                        s += float(a) * float(b)
+                    if s >= 0.0:
+                        sig |= 1 << i
+                vid = ids[k].as_py()
+                for b in range(n_bands):
+                    out_id.append(vid)
+                    out_band.append(b)
+                    out_val.append((sig >> (b * width)) % (1 << width))
+                    out_idx.append(k)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_id, type=pa.int64()),
+                 pa.array(out_band, type=pa.int32()),
+                 pa.array(out_val, type=pa.int64()),
+                 ts.take(pa.array(out_idx, type=pa.int32()))],
+                names=[id_col, "band_id", "band_value", ts_col])
+
+    bands = (emb_stream.select(id_col, vec_col, F.col(ts_col))
+             .mapInArrow(fn, schema=f"{id_col} long, band_id int, "
+                                    f"band_value long, {ts_col} timestamp")
+             .withWatermark(ts_col, watermark))
+
+    state_schema = "first_doc long, first_ts long, last_ts long"
+    out_schema = f"{id_col} long, band_id int, dup_of long"
+    update = _neardup_update_fn(horizon_seconds, ts_col, id_col, int)
+
+    return (bands.groupBy("band_id", "band_value")
+            .applyInPandasWithState(
+                update, out_schema, state_schema, "append",
+                GroupStateTimeout.EventTimeTimeout))
