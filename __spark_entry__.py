@@ -1492,6 +1492,29 @@ def q_doc_fingerprint(spark, sf_dir):
         F.length("text").alias("n_chars_actual"))
 
 
+def q_dup_span_stats(spark, sf_dir):
+    # Cross-document duplicated-SPAN accounting (Lee et al.,
+    # arXiv:2107.06499, re-expressed via robust-winnowing anchors —
+    # operators/spans.py module docstring): per-doc count of maximal
+    # character ranges verbatim-shared with >= 1 other document, plus
+    # the duplicated char mass. Whole-doc dedup says WHICH docs are
+    # copies; this says WHERE inside each doc the copied bytes live.
+    from rdf_rdfxml_spark.operators.spans import dup_span_stats
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    return dup_span_stats(docs)
+
+
+def q_dup_span_removal(spark, sf_dir):
+    # The transform half of the span pair: physically rebuild each document
+    # with its duplicated spans cut out (kept-piece substring + ordered
+    # concat, all JVM-side). Value-exact on the cleaned STRINGS.
+    from rdf_rdfxml_spark.operators.spans import dup_span_removal
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    return dup_span_removal(docs)
+
+
 def q_audio_features(spark, sf_dir):
     # Audio decode under the driver gate (round-4: previously
     # pytest-only): the synthetic audio table rotates PCM WAV, G.711
@@ -1990,6 +2013,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_assembly_stats": q_corpus_assembly_stats,
         "stream_decontaminate": q_stream_decontaminate,
         "stream_embedding_neardup": q_stream_embedding_neardup,
+        # duplicated-span detection + removal (round 7) — sub-document
+        # exact dedup, the Lee-et-al. complement to whole-doc near-dup
+        "corpus_dup_spans": q_dup_span_stats,
+        "corpus_dup_span_removal": q_dup_span_removal,
     }
 
 
@@ -2514,4 +2541,9 @@ def _all_oracle_sql() -> dict[str, str]:
         n=8, eval_pred="doc_id % 10 = 3")
     oracles["stream_embedding_neardup"] = \
         stream_embedding_neardup_oracle_sql()
+    from rdf_rdfxml_spark.operators.spans import (
+        dup_span_removal_oracle_sql, dup_span_stats_oracle_sql,
+    )
+    oracles["corpus_dup_spans"] = dup_span_stats_oracle_sql()
+    oracles["corpus_dup_span_removal"] = dup_span_removal_oracle_sql()
     return oracles
