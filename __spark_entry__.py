@@ -1515,6 +1515,18 @@ def q_dup_span_removal(spark, sf_dir):
     return dup_span_removal(docs)
 
 
+def q_corpus_bpe_merges(spark, sf_dir):
+    # BPE tokenizer TRAINING (Sennrich et al., arXiv:1508.07909) — learn
+    # the merge table from the corpus: one corpus-scale word-freq pass,
+    # then vocabulary-sized iterations (pair hash-agg + global top-1 +
+    # JVM-side fold merge; only the winning pair reaches the driver per
+    # step). The oracle replays every merge level in generated SQL.
+    from rdf_rdfxml_spark.operators.bpe import bpe_train_merges
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    return bpe_train_merges(docs, n_merges=10)
+
+
 def q_audio_features(spark, sf_dir):
     # Audio decode under the driver gate (round-4: previously
     # pytest-only): the synthetic audio table rotates PCM WAV, G.711
@@ -2017,6 +2029,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact dedup, the Lee-et-al. complement to whole-doc near-dup
         "corpus_dup_spans": q_dup_span_stats,
         "corpus_dup_span_removal": q_dup_span_removal,
+        # BPE merge learning (round 7) — tokenizer TRAINING over the
+        # corpus, the inverse of vocab_stats' measurement direction
+        "corpus_bpe_merges": q_corpus_bpe_merges,
     }
 
 
@@ -2546,4 +2561,6 @@ def _all_oracle_sql() -> dict[str, str]:
     )
     oracles["corpus_dup_spans"] = dup_span_stats_oracle_sql()
     oracles["corpus_dup_span_removal"] = dup_span_removal_oracle_sql()
+    from rdf_rdfxml_spark.operators.bpe import bpe_oracle_sql
+    oracles["corpus_bpe_merges"] = bpe_oracle_sql(n_merges=10)
     return oracles
