@@ -1527,6 +1527,15 @@ def q_corpus_bpe_merges(spark, sf_dir):
     return bpe_train_merges(docs, n_merges=10)
 
 
+def q_corpus_bpe_vocab(spark, sf_dir):
+    # Encode-side consequence of the learned merges: the corpus subword
+    # vocabulary (token, total freq) after applying all 10 BPE merges.
+    from rdf_rdfxml_spark.operators.bpe import bpe_vocab
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    return bpe_vocab(docs, n_merges=10)
+
+
 def q_audio_features(spark, sf_dir):
     # Audio decode under the driver gate (round-4: previously
     # pytest-only): the synthetic audio table rotates PCM WAV, G.711
@@ -2032,6 +2041,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE merge learning (round 7) — tokenizer TRAINING over the
         # corpus, the inverse of vocab_stats' measurement direction
         "corpus_bpe_merges": q_corpus_bpe_merges,
+        "corpus_bpe_vocab": q_corpus_bpe_vocab,
     }
 
 
@@ -2561,6 +2571,9 @@ def _all_oracle_sql() -> dict[str, str]:
     )
     oracles["corpus_dup_spans"] = dup_span_stats_oracle_sql()
     oracles["corpus_dup_span_removal"] = dup_span_removal_oracle_sql()
-    from rdf_rdfxml_spark.operators.bpe import bpe_oracle_sql
+    from rdf_rdfxml_spark.operators.bpe import (
+        bpe_oracle_sql, bpe_vocab_oracle_sql,
+    )
     oracles["corpus_bpe_merges"] = bpe_oracle_sql(n_merges=10)
+    oracles["corpus_bpe_vocab"] = bpe_vocab_oracle_sql(n_merges=10)
     return oracles

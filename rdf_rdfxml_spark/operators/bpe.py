@@ -100,6 +100,44 @@ def _apply_merge(words: DataFrame, left: str, right: str) -> DataFrame:
     return words.select("word", "freq", merged.alias("syms"))
 
 
+def bpe_vocab(docs: DataFrame, *, n_merges: int = 10) -> DataFrame:
+    """Corpus subword vocabulary AFTER applying the learned merges:
+    train ``n_merges`` BPE merges, then inventory the final symbol
+    streams — ``(token, freq)`` with freq = total corpus occurrences.
+    This is the encode-side consequence of :func:`bpe_train_merges`
+    (what the tokenizer's unigram distribution looks like), sharing the
+    same iteration chain, so the two stay consistent by construction."""
+    words = (word_freqs(docs)
+             .select("word", "freq", _chars_col().alias("syms")))
+    handles = [words.persist()]
+    for _step in range(n_merges):
+        top = (_pairs(words)
+               .orderBy(F.desc("pair_count"), F.asc("lft"), F.asc("rgt"))
+               .limit(1).collect())
+        if not top:
+            raise ValueError(
+                f"corpus exhausted before {n_merges} merges")
+        words = _apply_merge(words, top[0]["lft"], top[0]["rgt"]).persist()
+        handles.append(words)
+        if len(handles) > 2:
+            handles.pop(0).unpersist()
+    out = (words.select(F.explode("syms").alias("token"), "freq")
+           .groupBy("token").agg(F.sum("freq").alias("freq")))
+    out = out.localCheckpoint()
+    for h in handles:
+        h.unpersist()
+    return out
+
+
+def bpe_vocab_oracle_sql(*, n_merges: int = 10,
+                         table: str = "documents") -> str:
+    body = "".join(_level_sql(k) for k in range(n_merges))
+    return f"""{_chain_head_sql(table)}{body}
+    SELECT sym AS token, CAST(SUM(freq) AS BIGINT) AS freq
+    FROM (SELECT UNNEST(syms) AS sym, freq FROM lvl{n_merges})
+    GROUP BY sym"""
+
+
 def bpe_train_merges(docs: DataFrame, *, n_merges: int = 10) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus. Returns a
     DataFrame ``(step, left, right, pair_count)`` (step 1-based, in
@@ -182,11 +220,7 @@ def _level_sql(k: int) -> str:
       GROUP BY l.word, l.freq)"""
 
 
-def bpe_oracle_sql(*, n_merges: int = 10, table: str = "documents") -> str:
-    body = "".join(_level_sql(k) for k in range(n_merges))
-    unions = "\n    UNION ALL ".join(
-        f"SELECT CAST(step AS BIGINT) AS step, lft AS left, rgt AS right, "
-        f"pair_count FROM top{k}" for k in range(n_merges))
+def _chain_head_sql(table: str) -> str:
     return f"""WITH w0 AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
       FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM {table})
@@ -201,5 +235,13 @@ def bpe_oracle_sql(*, n_merges: int = 10, table: str = "documents") -> str:
                           ORDER BY i)
               FROM generate_series(1, {ORACLE_WORD_BOUND}) g(i)
               WHERE i <= len(w.word)) AS syms
-      FROM w0 w){body}
+      FROM w0 w)"""
+
+
+def bpe_oracle_sql(*, n_merges: int = 10, table: str = "documents") -> str:
+    body = "".join(_level_sql(k) for k in range(n_merges))
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST(step AS BIGINT) AS step, lft AS left, rgt AS right, "
+        f"pair_count FROM top{k}" for k in range(n_merges))
+    return f"""{_chain_head_sql(table)}{body}
     {unions}"""

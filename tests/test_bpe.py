@@ -74,6 +74,33 @@ def test_multidoc_frequency_weighting(spark):
     assert _run(spark, texts, 6) == _ref_bpe(texts, 6)
 
 
+def test_vocab_matches_reference_encode(spark):
+    texts = ["low low low lower newest newest widest cat cat", "aaaa cat"]
+    m = 6
+    # reference: replay merges on the word table, inventory final symbols
+    wf = Counter(w for t in texts for w in t.split(" ") if w)
+    words = {w: list(w) for w in wf}
+    for _step, l, r, _c in _ref_bpe(texts, m):
+        for w, syms in words.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    ns.append(l + r)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            words[w] = ns
+    exp = Counter()
+    for w, syms in words.items():
+        for s in syms:
+            exp[s] += wf[w]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r.token: r.freq for r in B.bpe_vocab(df, n_merges=m).collect()}
+    assert got == dict(exp)
+
+
 def test_exhausted_corpus_raises(spark):
     # single 2-char word: one pair exists, second merge must fail loudly
     df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
