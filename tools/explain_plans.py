@@ -169,6 +169,32 @@ def main():
     pack_token_chunks(docs.select("doc_id", "text"),
                       context_len=512, bucket_size=64) \
         .explain("formatted")
+
+    print("=" * 72)
+    print("15. duplicated-span stats (round 7) — winnowing anchors in "
+          "ONE mapInArrow over the pruned (doc_id, text) scan; the "
+          "dup-fp set is a partial-agg countDistinct; the probe is a "
+          "LEFT SEMI join (each position row matches at most once — no "
+          "pair explosion); island merge + stats are per-doc windows "
+          "(PARTITION BY doc_id, never SinglePartition)")
+    print("=" * 72)
+    from rdf_rdfxml_spark.operators.spans import dup_span_stats
+    dup_span_stats(docs.select("doc_id", "text")).explain("formatted")
+
+    print("=" * 72)
+    print("16. BPE pair counting (round 7) — the per-iteration hot "
+          "stage: adjacent pairs via codegen transform/explode over "
+          "the cached vocab table, hash-agg with map-side partial sum; "
+          "only (left, right, count) rows shuffle, never word text; "
+          "the global top-1 is TakeOrderedAndProject (per-partition "
+          "top-1 + single-row final), not a full sort")
+    print("=" * 72)
+    from rdf_rdfxml_spark.operators.bpe import _pairs, word_freqs, _chars_col
+    words = (word_freqs(docs.select("doc_id", "text"))
+             .select("word", "freq", _chars_col().alias("syms")))
+    from pyspark.sql import functions as F2
+    _pairs(words).orderBy(F2.desc("pair_count"), F2.asc("lft"),
+                          F2.asc("rgt")).limit(1).explain("formatted")
     spark.stop()
 
 
