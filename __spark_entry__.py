@@ -1123,6 +1123,109 @@ def q_corpus_assembly_stats(spark, sf_dir):
         "n_train long, total_tokens long, n_chunks long")
 
 
+def q_corpus_assembly_spanclean_stats(spark, sf_dir):
+    # The assembly chain with SUB-document hygiene inserted (round 7):
+    # exact dedup → duplicated-SPAN removal (cut cross-doc boilerplate
+    # out of the survivors' text) → eval-set decontamination → holdout
+    # split → token packing. Compared to corpus_assembly_stats, the
+    # packed token budget now reflects deduplicated BYTES, not just
+    # deduplicated documents — the Lee-et-al. pipeline end-to-end. The
+    # oracle splices the span-removal CTE chain between the same stage
+    # twins over identical intermediate sets.
+    from rdf_rdfxml_spark.operators.decontam import decontaminate
+    from rdf_rdfxml_spark.operators.packing import pack_token_chunks
+    from rdf_rdfxml_spark.operators.sampling import holdout_split
+    from rdf_rdfxml_spark.operators.spans import dup_span_removal
+    docs = (_docs(spark, sf_dir).select("doc_id", "text")
+            .repartition(2 * spark.sparkContext.defaultParallelism)
+            .persist())
+    cached = [docs]
+    try:
+        n_input = docs.count()
+        canon = (docs.groupBy(F.md5("text").alias("h"))
+                 .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+        k1 = docs.join(canon, "doc_id", "left_semi").persist()
+        cached.append(k1)
+        n_exact = k1.count()
+        chars_before = k1.agg(
+            F.sum(F.length("text").cast("long"))).collect()[0][0] or 0
+        k1c = (dup_span_removal(k1)
+               .select("doc_id", F.col("clean_text").alias("text"))
+               .persist())
+        cached.append(k1c)
+        chars_after = k1c.agg(
+            F.sum(F.length("text").cast("long"))).collect()[0][0] or 0
+        flagged = decontaminate(k1c, docs.filter("doc_id % 10 = 3"), n=8)
+        k2 = k1c.join(flagged, "doc_id", "left_anti").persist()
+        cached.append(k2)
+        n_decontam = k2.count()
+        k3 = (holdout_split(k2, 0.1).filter("split = 'train'")
+              .select("doc_id", "text").persist())
+        cached.append(k3)
+        n_train = k3.count()
+        packed = pack_token_chunks(k3, context_len=512, bucket_size=64)
+        row = packed.agg(
+            F.sum("n_tokens").alias("t"),
+            F.max(F.when(F.col("n_tokens") > 0,
+                         F.col("last_chunk"))).alias("lc")).collect()[0]
+        total_tokens = int(row["t"] or 0)
+        n_chunks = int(row["lc"]) + 1 if row["lc"] is not None else 0
+    finally:
+        for df in cached:
+            df.unpersist()
+    return spark.createDataFrame(
+        [(n_input, n_exact, int(chars_before - chars_after), n_decontam,
+          n_train, total_tokens, n_chunks)],
+        "n_input long, n_after_exact long, span_chars_removed long, "
+        "n_after_decontam long, n_train long, total_tokens long, "
+        "n_chunks long")
+
+
+def _corpus_assembly_spanclean_oracle() -> str:
+    from rdf_rdfxml_spark.operators.decontam import oracle_gram_list
+    from rdf_rdfxml_spark.operators.sampling import U32
+    from rdf_rdfxml_spark.operators.spans import dup_span_removal_ctes
+    grams = oracle_gram_list(8)
+    cut = int(0.1 * U32)
+    u = ("CAST(('0x' || substring(md5('split:v1' || ':' || "
+         "CAST(doc_id AS STRING)), 1, 8))::VARCHAR::UBIGINT AS BIGINT)")
+    return f"""
+    WITH canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    k1 AS (SELECT d.doc_id, d.text FROM documents d
+           JOIN canon c ON c.doc_id = d.doc_id),
+    {dup_span_removal_ctes(table='k1', out='k1c')},
+    dg AS (
+      SELECT doc_id, unnest({grams}) AS gram
+      FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                       t -> t <> '') AS toks FROM k1c)),
+    eg AS (
+      SELECT DISTINCT unnest({grams}) AS gram
+      FROM (SELECT list_filter(string_split(lower(text), ' '),
+                               t -> t <> '') AS toks
+            FROM documents WHERE doc_id % 10 = 3)),
+    contam AS (SELECT DISTINCT doc_id FROM dg JOIN eg USING (gram)),
+    k2 AS (SELECT * FROM k1c
+           WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+    k3 AS (SELECT * FROM k2 WHERE NOT ({u} < {cut})),
+    tok AS (SELECT CAST(len(list_filter(string_split(text, ' '),
+                                        t -> t <> '')) AS BIGINT) AS n
+            FROM k3)
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_input,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM k1) AS n_after_exact,
+      (SELECT CAST(SUM(len(k1.text)) AS BIGINT) FROM k1)
+        - (SELECT CAST(SUM(len(k1c.text)) AS BIGINT) FROM k1c)
+        AS span_chars_removed,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM k2) AS n_after_decontam,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM k3) AS n_train,
+      (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM tok)
+        AS total_tokens,
+      (SELECT CAST(CASE WHEN COALESCE(SUM(n), 0) > 0
+                        THEN (SUM(n) + 511) // 512 ELSE 0 END AS BIGINT)
+       FROM tok) AS n_chunks"""
+
+
 def _corpus_assembly_oracle() -> str:
     from rdf_rdfxml_spark.operators.decontam import oracle_gram_list
     from rdf_rdfxml_spark.operators.sampling import U32
@@ -2042,6 +2145,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus, the inverse of vocab_stats' measurement direction
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "corpus_bpe_vocab": q_corpus_bpe_vocab,
+        # assembly chain WITH sub-document span hygiene (round 7)
+        "corpus_assembly_spanclean_stats": q_corpus_assembly_spanclean_stats,
     }
 
 
@@ -2561,6 +2666,8 @@ def _all_oracle_sql() -> dict[str, str]:
     oracles["corpus_mix_plan"] = mix_plan_oracle_sql(
         stratum_col="lang", alpha="sqrt", token_budget=1_000_000)
     oracles["corpus_assembly_stats"] = _corpus_assembly_oracle()
+    oracles["corpus_assembly_spanclean_stats"] = \
+        _corpus_assembly_spanclean_oracle()
     # stateless streaming arm == the batch rule, same SQL twin
     oracles["stream_decontaminate"] = decontaminate_oracle_sql(
         n=8, eval_pred="doc_id % 10 = 3")

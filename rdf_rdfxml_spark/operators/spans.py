@@ -302,12 +302,15 @@ def dup_span_stats_oracle_sql(*, k: int = SPAN_K,
     FROM {table} d LEFT JOIN per p USING (doc_id)"""
 
 
-def dup_span_removal_oracle_sql(*, k: int = SPAN_K,
-                                window: int = SPAN_WINDOW,
-                                min_docs: int = 2,
-                                table: str = "documents") -> str:
-    return f"""WITH {_spans_cte(k=k, window=window, min_docs=min_docs,
-                                table=table)},
+def dup_span_removal_ctes(*, k: int = SPAN_K, window: int = SPAN_WINDOW,
+                          min_docs: int = 2, table: str = "documents",
+                          out: str = "cleaned") -> str:
+    """The full removal pipeline as a spliceable CTE chain ending in
+    ``{out}(doc_id, text)`` — used standalone by
+    :func:`dup_span_removal_oracle_sql` and composed into larger
+    pipeline oracles (the assembly-chain pattern)."""
+    return f"""{_spans_cte(k=k, window=window, min_docs=min_docs,
+                           table=table)},
     mid AS (
       SELECT doc_id,
              COALESCE(LAG(span_end) OVER
@@ -328,14 +331,23 @@ def dup_span_removal_oracle_sql(*, k: int = SPAN_K,
       JOIN {table} d USING (doc_id)
       WHERE p.pe >= p.ps
       GROUP BY p.doc_id),
-    flagged AS (SELECT DISTINCT doc_id FROM spans)
-    SELECT d.doc_id,
-           CAST(len(CASE WHEN pc.pieced IS NOT NULL THEN pc.pieced
-                         WHEN f.doc_id IS NOT NULL THEN ''
-                         ELSE d.text END) AS BIGINT) AS clean_chars,
-           CASE WHEN pc.pieced IS NOT NULL THEN pc.pieced
-                WHEN f.doc_id IS NOT NULL THEN ''
-                ELSE d.text END AS clean_text
-    FROM {table} d
-    LEFT JOIN pieces pc USING (doc_id)
-    LEFT JOIN flagged f USING (doc_id)"""
+    flagged AS (SELECT DISTINCT doc_id FROM spans),
+    {out} AS (
+      SELECT d.doc_id,
+             CASE WHEN pc.pieced IS NOT NULL THEN pc.pieced
+                  WHEN f.doc_id IS NOT NULL THEN ''
+                  ELSE d.text END AS text
+      FROM {table} d
+      LEFT JOIN pieces pc USING (doc_id)
+      LEFT JOIN flagged f USING (doc_id))"""
+
+
+def dup_span_removal_oracle_sql(*, k: int = SPAN_K,
+                                window: int = SPAN_WINDOW,
+                                min_docs: int = 2,
+                                table: str = "documents") -> str:
+    return f"""WITH {dup_span_removal_ctes(k=k, window=window,
+                                           min_docs=min_docs, table=table)}
+    SELECT doc_id, CAST(len(text) AS BIGINT) AS clean_chars,
+           text AS clean_text
+    FROM cleaned"""
