@@ -1618,6 +1618,17 @@ def q_dup_span_removal(spark, sf_dir):
     return dup_span_removal(docs)
 
 
+def q_selfrep_spans(spark, sf_dir):
+    # INTRA-document repeated spans, keep-first semantics: where inside
+    # each doc the self-repeated bytes live (the surgical cousin of the
+    # Gopher-ratio repetition_stats filter, which can only keep or drop
+    # the whole doc). Entirely per-doc after the anchor stage.
+    from rdf_rdfxml_spark.operators.spans import self_dup_span_stats
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    return self_dup_span_stats(docs)
+
+
 def q_corpus_bpe_merges(spark, sf_dir):
     # BPE tokenizer TRAINING (Sennrich et al., arXiv:1508.07909) — learn
     # the merge table from the corpus: one corpus-scale word-freq pass,
@@ -2141,6 +2152,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact dedup, the Lee-et-al. complement to whole-doc near-dup
         "corpus_dup_spans": q_dup_span_stats,
         "corpus_dup_span_removal": q_dup_span_removal,
+        "corpus_selfrep_spans": q_selfrep_spans,
         # BPE merge learning (round 7) — tokenizer TRAINING over the
         # corpus, the inverse of vocab_stats' measurement direction
         "corpus_bpe_merges": q_corpus_bpe_merges,
@@ -2675,9 +2687,11 @@ def _all_oracle_sql() -> dict[str, str]:
         stream_embedding_neardup_oracle_sql()
     from rdf_rdfxml_spark.operators.spans import (
         dup_span_removal_oracle_sql, dup_span_stats_oracle_sql,
+        self_dup_span_stats_oracle_sql,
     )
     oracles["corpus_dup_spans"] = dup_span_stats_oracle_sql()
     oracles["corpus_dup_span_removal"] = dup_span_removal_oracle_sql()
+    oracles["corpus_selfrep_spans"] = self_dup_span_stats_oracle_sql()
     from rdf_rdfxml_spark.operators.bpe import (
         bpe_oracle_sql, bpe_vocab_oracle_sql,
     )

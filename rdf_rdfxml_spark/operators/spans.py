@@ -151,6 +151,57 @@ def dup_spans(docs: DataFrame, *, k: int = SPAN_K,
             .select("doc_id", "span_start", "span_end"))
 
 
+def self_dup_spans(docs: DataFrame, *, k: int = SPAN_K,
+                   window: int = SPAN_WINDOW) -> DataFrame:
+    """INTRA-document repeated spans with keep-first semantics:
+    ``(doc_id, span_start, span_end)`` covering selected grams whose
+    fingerprint already occurred at an EARLIER position in the SAME
+    document — the second and later occurrences of any substring
+    repeated within one doc (>= k + window - 1 chars, same winnowing
+    guarantee applied doc-locally: both occurrences contain the same
+    full gram-window contents, so both select the same gram). The
+    surgical cousin of the Gopher-style ``repetition_stats`` filter
+    (curation.py): that one drops whole documents by repetition ratio;
+    this one locates the repeated bytes so they can be cut while
+    keeping the first copy. Entirely per-doc after the anchor stage —
+    windows PARTITION BY doc_id, no corpus-wide state at all."""
+    sel = selected_fingerprints(docs, k=k, window=window)
+    occ = Window.partitionBy("doc_id", "fp").orderBy("pos")
+    hits = (sel
+            .withColumn("rn", F.row_number().over(occ))
+            .filter(F.col("rn") >= 2)
+            .select("doc_id", "pos"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = (hits
+           .withColumn("newisl",
+                       F.when(prev_end >= F.col("pos") - 1, F.lit(0))
+                       .otherwise(F.lit(1)))
+           .withColumn("island", F.sum("newisl").over(
+               w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (isl.groupBy("doc_id", "island")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + (k - 1)).alias("span_end"))
+            .select("doc_id", "span_start", "span_end"))
+
+
+def self_dup_span_stats(docs: DataFrame, *, k: int = SPAN_K,
+                        window: int = SPAN_WINDOW) -> DataFrame:
+    """Per-document self-repetition accounting over
+    :func:`self_dup_spans`: ``(doc_id, n_chars, n_spans, rep_chars)``
+    for EVERY document, all BIGINT."""
+    spans = self_dup_spans(docs, k=k, window=window)
+    per = (spans.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_spans"),
+                F.sum(F.col("span_end") - F.col("span_start") + 1)
+                .alias("rep_chars")))
+    base = docs.select("doc_id",
+                       F.length("text").cast("long").alias("n_chars"))
+    return (base.join(per, "doc_id", "left")
+            .fillna(0, ["n_spans", "rep_chars"]))
+
+
 def dup_span_stats(docs: DataFrame, *, k: int = SPAN_K,
                    window: int = SPAN_WINDOW,
                    min_docs: int = 2) -> DataFrame:
@@ -250,14 +301,10 @@ def _selected_cte(*, k: int, window: int, table: str) -> str:
       GROUP BY w.doc_id, w.q)"""
 
 
-def _spans_cte(*, k: int, window: int, min_docs: int, table: str) -> str:
-    return f"""{_selected_cte(k=k, window=window, table=table)},
-    dup AS (
-      SELECT fp FROM sel GROUP BY fp
-      HAVING COUNT(DISTINCT doc_id) >= {min_docs}),
-    hits AS (
-      SELECT DISTINCT s.doc_id, s.pos FROM sel s JOIN dup USING (fp)),
-    isl AS (
+def _islands_cte(*, k: int) -> str:
+    """hits(doc_id, pos) → spans(doc_id, island, span_start, span_end)
+    — the shared gaps-and-islands merge."""
+    return f"""isl AS (
       SELECT doc_id, pos,
              CASE WHEN MAX(pos + {k - 1}) OVER
                     (PARTITION BY doc_id ORDER BY pos
@@ -275,6 +322,16 @@ def _spans_cte(*, k: int, window: int, min_docs: int, table: str) -> str:
              MIN(pos) AS span_start,
              MAX(pos) + {k - 1} AS span_end
       FROM isl2 GROUP BY doc_id, island)"""
+
+
+def _spans_cte(*, k: int, window: int, min_docs: int, table: str) -> str:
+    return f"""{_selected_cte(k=k, window=window, table=table)},
+    dup AS (
+      SELECT fp FROM sel GROUP BY fp
+      HAVING COUNT(DISTINCT doc_id) >= {min_docs}),
+    hits AS (
+      SELECT DISTINCT s.doc_id, s.pos FROM sel s JOIN dup USING (fp)),
+    {_islands_cte(k=k)}"""
 
 
 def dup_spans_oracle_sql(*, k: int = SPAN_K, window: int = SPAN_WINDOW,
@@ -299,6 +356,28 @@ def dup_span_stats_oracle_sql(*, k: int = SPAN_K,
     SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
            CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
            CAST(COALESCE(p.dup_chars, 0) AS BIGINT) AS dup_chars
+    FROM {table} d LEFT JOIN per p USING (doc_id)"""
+
+
+def self_dup_span_stats_oracle_sql(*, k: int = SPAN_K,
+                                   window: int = SPAN_WINDOW,
+                                   table: str = "documents") -> str:
+    return f"""WITH {_selected_cte(k=k, window=window, table=table)},
+    hits AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, fp
+                                  ORDER BY pos) AS rn
+        FROM sel)
+      WHERE rn >= 2),
+    {_islands_cte(k=k)},
+    per AS (
+      SELECT doc_id, COUNT(*) AS n_spans,
+             SUM(span_end - span_start + 1) AS rep_chars
+      FROM spans GROUP BY doc_id)
+    SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
+           CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(p.rep_chars, 0) AS BIGINT) AS rep_chars
     FROM {table} d LEFT JOIN per p USING (doc_id)"""
 
 

@@ -106,6 +106,28 @@ def test_hostile_edges_do_not_raise(spark):
     assert clean[3] == "tiny"
 
 
+def test_self_dup_keeps_first_occurrence(spark):
+    block = _uniq("rep", 100)
+    # block appears twice inside doc 1, once in doc 2 (no intra repeat)
+    t1 = _uniq("p", 60) + block + _uniq("q", 60) + block + _uniq("r", 40)
+    t2 = _uniq("s", 50) + block + _uniq("t", 50)
+    df = _df(spark, [(1, t1), (2, t2)])
+    spans = {}
+    for r in SP.self_dup_spans(df).collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    assert 2 not in spans  # no intra-doc repetition in doc 2
+    got = spans[1]
+    assert len(got) == 1
+    s, e = got[0]
+    second = 60 + 100 + 60  # start of the second occurrence
+    # only the SECOND occurrence is flagged, within edge-trim bounds
+    assert second <= s < second + EDGE
+    assert second + 100 - EDGE < e <= second + 100 - 1
+    stats = {r.doc_id: r for r in SP.self_dup_span_stats(df).collect()}
+    assert stats[1].n_spans == 1 and stats[1].rep_chars == e - s + 1
+    assert stats[2].n_spans == 0 and stats[2].rep_chars == 0
+
+
 def test_min_docs_threshold(spark):
     block = _uniq("tri", 100)
     df = _df(spark, [(i, _uniq(f"pre{i}", 60) + block) for i in range(3)])
