@@ -1650,6 +1650,17 @@ def q_corpus_bpe_vocab(spark, sf_dir):
     return bpe_vocab(docs, n_merges=10)
 
 
+def q_corpus_bpe_token_count(spark, sf_dir):
+    # The tokenizer-TRUE token budget: per-doc token counts under the
+    # learned BPE segmentation (encode = lookup into the trained word
+    # table, since training ran on this corpus). Whitespace token_count
+    # is what packing budgets with; this is what a dataloader sees.
+    from rdf_rdfxml_spark.operators.bpe import bpe_token_counts
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    return bpe_token_counts(docs, n_merges=10)
+
+
 def q_audio_features(spark, sf_dir):
     # Audio decode under the driver gate (round-4: previously
     # pytest-only): the synthetic audio table rotates PCM WAV, G.711
@@ -2157,6 +2168,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus, the inverse of vocab_stats' measurement direction
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "corpus_bpe_vocab": q_corpus_bpe_vocab,
+        "corpus_bpe_token_count": q_corpus_bpe_token_count,
         # assembly chain WITH sub-document span hygiene (round 7)
         "corpus_assembly_spanclean_stats": q_corpus_assembly_spanclean_stats,
     }
@@ -2693,8 +2705,10 @@ def _all_oracle_sql() -> dict[str, str]:
     oracles["corpus_dup_span_removal"] = dup_span_removal_oracle_sql()
     oracles["corpus_selfrep_spans"] = self_dup_span_stats_oracle_sql()
     from rdf_rdfxml_spark.operators.bpe import (
-        bpe_oracle_sql, bpe_vocab_oracle_sql,
+        bpe_oracle_sql, bpe_token_counts_oracle_sql, bpe_vocab_oracle_sql,
     )
     oracles["corpus_bpe_merges"] = bpe_oracle_sql(n_merges=10)
     oracles["corpus_bpe_vocab"] = bpe_vocab_oracle_sql(n_merges=10)
+    oracles["corpus_bpe_token_count"] = \
+        bpe_token_counts_oracle_sql(n_merges=10)
     return oracles

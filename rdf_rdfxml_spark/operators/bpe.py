@@ -138,6 +138,66 @@ def bpe_vocab_oracle_sql(*, n_merges: int = 10,
     GROUP BY sym"""
 
 
+def bpe_token_counts(docs: DataFrame, *, n_merges: int = 10) -> DataFrame:
+    """Per-document BPE token counts — the encode step a dataloader
+    budget actually uses: train ``n_merges`` merges, then count each
+    document's tokens under the learned segmentation. Because training
+    runs on this same corpus, encoding is a LOOKUP into the final
+    word-symbol table (every corpus word is in the vocab by
+    construction): explode doc words, join the model-sized word table
+    (broadcast-able), sum symbol counts. Returns ``(doc_id,
+    n_bpe_tokens)`` for every document (0 for empty/whitespace docs).
+    Whitespace ``token_count`` is what the packing ops budget with; this
+    is the tokenizer-true budget."""
+    words = (word_freqs(docs)
+             .select("word", "freq", _chars_col().alias("syms")))
+    handles = [words.persist()]
+    for _step in range(n_merges):
+        top = (_pairs(words)
+               .orderBy(F.desc("pair_count"), F.asc("lft"), F.asc("rgt"))
+               .limit(1).collect())
+        if not top:
+            raise ValueError(
+                f"corpus exhausted before {n_merges} merges")
+        words = _apply_merge(words, top[0]["lft"], top[0]["rgt"]).persist()
+        handles.append(words)
+        if len(handles) > 2:
+            handles.pop(0).unpersist()
+    lens = words.select("word", F.size("syms").cast("long").alias("n"))
+    doc_words = (docs
+                 .select("doc_id",
+                         F.explode(F.split(F.col("text"), " "))
+                         .alias("word"))
+                 .filter(F.col("word") != ""))
+    out = (docs.select("doc_id")
+           .join(doc_words.join(lens, "word")
+                 .groupBy("doc_id").agg(F.sum("n").alias("n_bpe_tokens")),
+                 "doc_id", "left")
+           .fillna(0, ["n_bpe_tokens"]))
+    out = out.localCheckpoint()
+    for h in handles:
+        h.unpersist()
+    return out
+
+
+def bpe_token_counts_oracle_sql(*, n_merges: int = 10,
+                                table: str = "documents") -> str:
+    body = "".join(_level_sql(k) for k in range(n_merges))
+    return f"""{_chain_head_sql(table)}{body},
+    wlen AS (SELECT word, CAST(len(syms) AS BIGINT) AS n
+             FROM lvl{n_merges}),
+    dw AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+      FROM {table}),
+    per AS (
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bpe_tokens
+      FROM dw JOIN wlen USING (word)
+      WHERE word != '' GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+    FROM {table} d LEFT JOIN per p USING (doc_id)"""
+
+
 def bpe_train_merges(docs: DataFrame, *, n_merges: int = 10) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus. Returns a
     DataFrame ``(step, left, right, pair_count)`` (step 1-based, in

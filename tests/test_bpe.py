@@ -101,6 +101,32 @@ def test_vocab_matches_reference_encode(spark):
     assert got == dict(exp)
 
 
+def test_token_counts_match_reference_encode(spark):
+    texts = ["low low lower newest newest widest", "aaaa low cat", ""]
+    m = 5
+    wf = Counter(w for t in texts for w in t.split(" ") if w)
+    words = {w: list(w) for w in wf}
+    for _step, l, r, _c in _ref_bpe(texts, m):
+        for w, syms in words.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    ns.append(l + r)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            words[w] = ns
+    exp = {d: sum(len(words[w]) for w in t.split(" ") if w)
+           for d, t in enumerate(texts)}
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r.doc_id: r.n_bpe_tokens
+           for r in B.bpe_token_counts(df, n_merges=m).collect()}
+    assert got == exp
+    assert got[2] == 0  # empty doc present with zero tokens
+
+
 def test_exhausted_corpus_raises(spark):
     # single 2-char word: one pair exists, second merge must fail loudly
     df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
