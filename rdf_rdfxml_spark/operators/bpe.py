@@ -100,32 +100,56 @@ def _apply_merge(words: DataFrame, left: str, right: str) -> DataFrame:
     return words.select("word", "freq", merged.alias("syms"))
 
 
+def _train_chain(docs: DataFrame, n_merges: int, finish=None):
+    """The ONE training loop all three public operators share: word
+    freqs → ``n_merges`` iterations of (pair count → global top-1 →
+    merge application). Returns ``(finish(final_words), merges)`` where
+    ``merges`` is the learned ``[(step, left, right, count), ...]``;
+    ``finish`` (if given) must materialize its result EAGERLY
+    (localCheckpoint/collect) because every persisted handle — including
+    the final level — is freed before returning, also on the
+    exhaustion-error path."""
+    words = (word_freqs(docs)
+             .select("word", "freq", _chars_col().alias("syms")))
+    handles = [words.persist()]
+    merges = []
+    try:
+        for step in range(1, n_merges + 1):
+            top = (_pairs(words)
+                   .orderBy(F.desc("pair_count"), F.asc("lft"),
+                            F.asc("rgt"))
+                   .limit(1).collect())
+            if not top:
+                raise ValueError(
+                    f"corpus exhausted at merge {step}: "
+                    f"< {n_merges} pairs")
+            lft, rgt = top[0]["lft"], top[0]["rgt"]
+            merges.append((step, lft, rgt, int(top[0]["pair_count"])))
+            words = _apply_merge(words, lft, rgt).persist()
+            handles.append(words)
+            if len(handles) > 2:
+                handles.pop(0).unpersist()
+        return (finish(words) if finish is not None else None), merges
+    finally:
+        for h in handles:
+            h.unpersist()
+
+
 def bpe_vocab(docs: DataFrame, *, n_merges: int = 10) -> DataFrame:
     """Corpus subword vocabulary AFTER applying the learned merges:
     train ``n_merges`` BPE merges, then inventory the final symbol
     streams — ``(token, freq)`` with freq = total corpus occurrences.
-    This is the encode-side consequence of :func:`bpe_train_merges`
-    (what the tokenizer's unigram distribution looks like), sharing the
-    same iteration chain, so the two stay consistent by construction."""
-    words = (word_freqs(docs)
-             .select("word", "freq", _chars_col().alias("syms")))
-    handles = [words.persist()]
-    for _step in range(n_merges):
-        top = (_pairs(words)
-               .orderBy(F.desc("pair_count"), F.asc("lft"), F.asc("rgt"))
-               .limit(1).collect())
-        if not top:
-            raise ValueError(
-                f"corpus exhausted before {n_merges} merges")
-        words = _apply_merge(words, top[0]["lft"], top[0]["rgt"]).persist()
-        handles.append(words)
-        if len(handles) > 2:
-            handles.pop(0).unpersist()
-    out = (words.select(F.explode("syms").alias("token"), "freq")
-           .groupBy("token").agg(F.sum("freq").alias("freq")))
-    out = out.localCheckpoint()
-    for h in handles:
-        h.unpersist()
+    The encode-side consequence of :func:`bpe_train_merges` (what the
+    tokenizer's unigram distribution looks like); all three public
+    operators run the single shared :func:`_train_chain` loop, so they
+    cannot drift."""
+
+    def finish(words):
+        return (words.select(F.explode("syms").alias("token"), "freq")
+                .groupBy("token").agg(F.sum("freq").alias("freq"))
+                .localCheckpoint())
+
+    out, _merges = _train_chain(docs, n_merges, finish)
     return out
 
 
@@ -140,43 +164,32 @@ def bpe_vocab_oracle_sql(*, n_merges: int = 10,
 
 def bpe_token_counts(docs: DataFrame, *, n_merges: int = 10) -> DataFrame:
     """Per-document BPE token counts — the encode step a dataloader
-    budget actually uses: train ``n_merges`` merges, then count each
-    document's tokens under the learned segmentation. Because training
-    runs on this same corpus, encoding is a LOOKUP into the final
-    word-symbol table (every corpus word is in the vocab by
-    construction): explode doc words, join the model-sized word table
-    (broadcast-able), sum symbol counts. Returns ``(doc_id,
-    n_bpe_tokens)`` for every document (0 for empty/whitespace docs).
-    Whitespace ``token_count`` is what the packing ops budget with; this
-    is the tokenizer-true budget."""
-    words = (word_freqs(docs)
-             .select("word", "freq", _chars_col().alias("syms")))
-    handles = [words.persist()]
-    for _step in range(n_merges):
-        top = (_pairs(words)
-               .orderBy(F.desc("pair_count"), F.asc("lft"), F.asc("rgt"))
-               .limit(1).collect())
-        if not top:
-            raise ValueError(
-                f"corpus exhausted before {n_merges} merges")
-        words = _apply_merge(words, top[0]["lft"], top[0]["rgt"]).persist()
-        handles.append(words)
-        if len(handles) > 2:
-            handles.pop(0).unpersist()
-    lens = words.select("word", F.size("syms").cast("long").alias("n"))
-    doc_words = (docs
-                 .select("doc_id",
-                         F.explode(F.split(F.col("text"), " "))
-                         .alias("word"))
-                 .filter(F.col("word") != ""))
-    out = (docs.select("doc_id")
-           .join(doc_words.join(lens, "word")
-                 .groupBy("doc_id").agg(F.sum("n").alias("n_bpe_tokens")),
-                 "doc_id", "left")
-           .fillna(0, ["n_bpe_tokens"]))
-    out = out.localCheckpoint()
-    for h in handles:
-        h.unpersist()
+    budget actually uses: train ``n_merges`` merges (the shared
+    :func:`_train_chain` loop), then count each document's tokens under
+    the learned segmentation. Because training runs on this same
+    corpus, encoding is a LOOKUP into the final word-symbol table
+    (every corpus word is in the vocab by construction): explode doc
+    words, join the model-sized word table (broadcast-able), sum symbol
+    counts. Returns ``(doc_id, n_bpe_tokens)`` for every document (0
+    for empty/whitespace docs). Whitespace ``token_count`` is what the
+    packing ops budget with; this is the tokenizer-true budget."""
+
+    def finish(words):
+        lens = words.select("word", F.size("syms").cast("long").alias("n"))
+        doc_words = (docs
+                     .select("doc_id",
+                             F.explode(F.split(F.col("text"), " "))
+                             .alias("word"))
+                     .filter(F.col("word") != ""))
+        return (docs.select("doc_id")
+                .join(doc_words.join(lens, "word")
+                      .groupBy("doc_id")
+                      .agg(F.sum("n").alias("n_bpe_tokens")),
+                      "doc_id", "left")
+                .fillna(0, ["n_bpe_tokens"])
+                .localCheckpoint())
+
+    out, _merges = _train_chain(docs, n_merges, finish)
     return out
 
 
@@ -199,37 +212,16 @@ def bpe_token_counts_oracle_sql(*, n_merges: int = 10,
 
 
 def bpe_train_merges(docs: DataFrame, *, n_merges: int = 10) -> DataFrame:
-    """Learn ``n_merges`` BPE merges from the corpus. Returns a
-    DataFrame ``(step, left, right, pair_count)`` (step 1-based, in
-    merge order) — the merge table a tokenizer applies at encode time.
+    """Learn ``n_merges`` BPE merges from the corpus (the shared
+    :func:`_train_chain` loop). Returns a DataFrame ``(step, left,
+    right, pair_count)`` (step 1-based, in merge order) — the merge
+    table a tokenizer applies at encode time.
 
     Raises if the corpus runs out of pairs before ``n_merges`` (the
     oracle twin then mismatches on row count — loud either way)."""
-    spark = docs.sparkSession
-    words = (word_freqs(docs)
-             .select("word", "freq", _chars_col().alias("syms")))
-    handles = []
-    words = words.persist()
-    handles.append(words)
-    out = []
-    for step in range(1, n_merges + 1):
-        top = (_pairs(words)
-               .orderBy(F.desc("pair_count"), F.asc("lft"), F.asc("rgt"))
-               .limit(1).collect())
-        if not top:
-            raise ValueError(
-                f"corpus exhausted at merge {step}: < {n_merges} pairs")
-        lft, rgt, cnt = top[0]["lft"], top[0]["rgt"], top[0]["pair_count"]
-        out.append((step, lft, rgt, int(cnt)))
-        if step < n_merges:
-            words = _apply_merge(words, lft, rgt).persist()
-            handles.append(words)
-            if len(handles) > 2:
-                handles.pop(0).unpersist()
-    for h in handles:
-        h.unpersist()
-    return spark.createDataFrame(
-        out, "step long, left string, right string, pair_count long")
+    _none, merges = _train_chain(docs, n_merges)
+    return docs.sparkSession.createDataFrame(
+        merges, "step long, left string, right string, pair_count long")
 
 
 # --------------------------------------------------------------------------

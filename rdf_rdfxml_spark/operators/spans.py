@@ -117,7 +117,14 @@ def selected_fingerprints(docs: DataFrame, *, k: int = SPAN_K,
     """(doc_id, text) → (doc_id, pos, fp): robust-winnowing selected
     gram positions (0-based char index of the gram start) with their
     60-bit gram hashes. Document-local, one mapInArrow stage."""
-    assert window <= k, "window <= k keeps dup islands contiguous"
+    if window > k:
+        # not an assert: under python -O a violated contract would
+        # silently fragment shared regions into multiple spans
+        raise ValueError(
+            f"window ({window}) must be <= k ({k}): consecutive selected "
+            f"grams can sit up to `window` apart, and only window <= k "
+            f"makes their k-char extents overlap into one island per "
+            f"shared region")
     pruned = docs.select("doc_id", "text")
     return pruned.mapInArrow(_selected_fn(k, window),
                              schema="doc_id long, pos long, fp long")

@@ -34,6 +34,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_N", "3"))
@@ -41,21 +42,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _corpus(spark, scale: int):
-    from pyspark.sql import functions as F
-    base = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
-        .select("doc_id", "text")
-    if scale == 1:
-        return base
-    parts = [
-        base.select(
-            (F.col("doc_id") + F.lit(k * 1_000_000_000)).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(f" copymark{k}")).alias("text"))
-        for k in range(scale)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # the SAME replication protocol as the other corpus legs — imported,
+    # not copied, so the two harnesses' numbers stay comparable
+    from corpus_ops_scale import _corpus as _shared
+    return _shared(spark, scale).select("doc_id", "text")
 
 
 def _timed(fn):
