@@ -445,6 +445,24 @@ def q_kg_two_hop_salted(spark, sf_dir):
     return salted_join(hop1, hop2, "mid").select("doc", "origin")
 
 
+def q_kg_triangles(spark, sf_dir):
+    # Triangle participation counts (clustering-coefficient numerator)
+    # with degree-ordered orientation — the classic hub-skew-proof
+    # construction: the synthetic graph is 5-cliques over the doc ids
+    # PLUS a global hub 'h' linked to every node (degree N), and the
+    # orientation makes the hub a wedge TARGET only, so the wedge join
+    # fan-out stays bounded by the √m rank bound, not by the hub degree.
+    from rdf_rdfxml_spark.operators.graph import triangle_counts
+    docs = _docs(spark, sf_dir).select("doc_id")
+    a = docs.selectExpr("doc_id AS i")
+    b = docs.selectExpr("doc_id AS j")
+    clique = (a.join(b, F.expr("i DIV 5 = j DIV 5 AND i < j"))
+              .selectExpr("concat('d', i) AS src",
+                          "concat('d', j) AS dst"))
+    hub = docs.selectExpr("'h' AS src", "concat('d', doc_id) AS dst")
+    return triangle_counts(clique.unionByName(hub))
+
+
 def q_kg_pagerank(spark, sf_dir):
     # Fixed-iteration PageRank (5 rounds, d=0.85, per-round 1e-9
     # rounding as the cross-engine float contract; dangling mass not
@@ -2169,6 +2187,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "corpus_bpe_vocab": q_corpus_bpe_vocab,
         "corpus_bpe_token_count": q_corpus_bpe_token_count,
+        # triangle counting with degree-ordered orientation (round 7)
+        "kg_triangles": q_kg_triangles,
         # assembly chain WITH sub-document span hygiene (round 7)
         "corpus_assembly_spanclean_stats": q_corpus_assembly_spanclean_stats,
     }
@@ -2711,4 +2731,12 @@ def _all_oracle_sql() -> dict[str, str]:
     oracles["corpus_bpe_vocab"] = bpe_vocab_oracle_sql(n_merges=10)
     oracles["corpus_bpe_token_count"] = \
         bpe_token_counts_oracle_sql(n_merges=10)
+    from rdf_rdfxml_spark.operators.graph import triangles_oracle_sql
+    oracles["kg_triangles"] = triangles_oracle_sql("""
+      SELECT 'd' || CAST(d1.doc_id AS VARCHAR) AS src,
+             'd' || CAST(d2.doc_id AS VARCHAR) AS dst
+      FROM documents d1 JOIN documents d2
+        ON d1.doc_id // 5 = d2.doc_id // 5 AND d1.doc_id < d2.doc_id
+      UNION ALL
+      SELECT 'h', 'd' || CAST(doc_id AS VARCHAR) FROM documents""")
     return oracles

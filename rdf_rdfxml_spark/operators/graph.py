@@ -265,3 +265,104 @@ def pagerank_oracle_sql(edges_sql: str, *, iters: int = 5,
         GROUP BY e.dst) c ON c.dst = nodes.node)""")
     return ("WITH" + ",".join(parts)
             + f"\n    SELECT node, rank FROM r{iters}")
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph
+    given as (src, dst) rows — the classic KG/community-structure
+    statistic (and the clustering-coefficient numerator).
+
+    Skew engineering IS the algorithm here: the naive wedge join
+    explodes on hubs (a degree-d node generates d² wedges — a single
+    celebrity entity at 100 TB stalls the stage). Degree-ordered
+    ORIENTATION (each undirected edge directed from the (degree, id)-
+    smaller endpoint to the larger — the Ortmann/Brandes / "rank-order"
+    construction) bounds every node's ORIENTED out-degree by O(√m) on
+    any graph, so the wedge join fan-out is bounded regardless of how
+    skewed the raw degrees are: hubs become high-rank TARGETS, never
+    wedge sources. Each triangle is then counted exactly once (its
+    rank-minimal vertex owns it) by joining wedges (a→b, a→c) against
+    the oriented closing edge (b→c).
+
+    Plan shape: degree hash-agg (partial agg), two equi-joins on narrow
+    (node, node) rows, one explode(3) + final hash-agg. No iteration,
+    no windows, no UDFs. Returns ``(node, n_triangles)`` for every node
+    appearing in an edge (0 if in no triangle), BIGINT.
+
+    Dedup/cleanup contract: self-loops dropped, parallel edges and both
+    orientations of the same undirected edge collapse to one.
+    """
+    und = (edges.selectExpr("least(src, dst) AS a",
+                            "greatest(src, dst) AS b")
+           .filter("a <> b").distinct())
+    und = und.persist()
+    deg = (und.selectExpr("a AS node").unionAll(und.selectExpr("b AS node"))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    nd = und.join(deg.withColumnRenamed("node", "a")
+                  .withColumnRenamed("deg", "da"), "a") \
+            .join(deg.withColumnRenamed("node", "b")
+                  .withColumnRenamed("deg", "db"), "b")
+    oriented = nd.selectExpr(
+        "CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u",
+        "CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v")
+    oriented = oriented.persist()
+    w1 = oriented.selectExpr("u AS a", "v AS b")
+    w2 = oriented.selectExpr("u AS a", "v AS c")
+    wedges = w1.join(w2, "a").filter("b < c")
+    # a triangle's wedge pair is unordered — the closing edge may be
+    # oriented b→c or c→b (orientation is by RANK, the wedge filter is
+    # by NAME for determinism), so probe both directions
+    closing = oriented.selectExpr("u AS b", "v AS c").unionAll(
+        oriented.selectExpr("v AS b", "u AS c"))
+    tris = wedges.join(closing, ["b", "c"])
+    member = (tris.selectExpr("a AS node")
+              .unionAll(tris.selectExpr("b AS node"))
+              .unionAll(tris.selectExpr("c AS node"))
+              .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
+    out = (deg.select("node").join(member, "node", "left")
+           .fillna(0, ["n_triangles"]))
+    out = out.localCheckpoint()
+    und.unpersist()
+    oriented.unpersist()
+    return out
+
+
+def triangles_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`triangle_counts` over ``edges_sql``
+    (a query producing (src, dst) rows): identical canonicalization,
+    (degree, id) orientation, wedge + both-direction closing-edge join,
+    membership explode."""
+    return f"""
+    WITH raw_edges AS ({edges_sql}),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw_edges WHERE src <> dst),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+      GROUP BY node),
+    oriented AS (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.a ELSE u.b END AS u,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.b ELSE u.a END AS v
+      FROM und u
+      JOIN deg da ON da.node = u.a
+      JOIN deg db ON db.node = u.b),
+    wedges AS (
+      SELECT w1.v AS b, w2.v AS c, w1.u AS a
+      FROM oriented w1 JOIN oriented w2 ON w1.u = w2.u
+      WHERE w1.v < w2.v),
+    closing AS (
+      SELECT u AS b, v AS c FROM oriented
+      UNION ALL SELECT v, u FROM oriented),
+    tris AS (
+      SELECT w.a, w.b, w.c FROM wedges w JOIN closing USING (b, c)),
+    member AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM (SELECT a AS node FROM tris UNION ALL SELECT b FROM tris
+            UNION ALL SELECT c FROM tris)
+      GROUP BY node)
+    SELECT d.node, CAST(COALESCE(m.n_triangles, 0) AS BIGINT)
+             AS n_triangles
+    FROM deg d LEFT JOIN member m USING (node)"""

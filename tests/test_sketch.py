@@ -406,3 +406,49 @@ def test_salted_join_rejects_outer_how():
                 "left_anti", "cross"):
         with _pytest.raises(ValueError, match="salted_join supports"):
             salted_join(None, None, "k", how=bad, hot_keys=["x"])
+
+
+def _ref_triangles(edge_list):
+    """Brute-force per-node triangle counts over an undirected edge list
+    (self-loops dropped, parallel/reversed edges collapsed)."""
+    from itertools import combinations
+    adj = {}
+    for s, d in edge_list:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    counts = {n: 0 for n in adj}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                counts[n] += 1
+    return counts
+
+
+def test_triangle_counts_vs_brute_force(spark):
+    from rdf_rdfxml_spark.operators.graph import triangle_counts
+    # overlapping cliques + a hub star + noise: K4 on a-d, K3 on d-f,
+    # hub h linked to everything, plus self-loop and reversed/parallel
+    # duplicates that must collapse
+    nodes = ["a", "b", "c", "d", "e", "f"]
+    edges = [(x, y) for i, x in enumerate(nodes[:4])
+             for y in nodes[i + 1:4]]
+    edges += [("d", "e"), ("d", "f"), ("e", "f")]
+    edges += [("h", n) for n in nodes]
+    edges += [("a", "a"), ("b", "a"), ("a", "b")]  # hostile dupes
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == _ref_triangles(edges)
+    # the hub participates in one triangle per underlying edge
+    assert got["h"] == 9
+
+
+def test_triangle_counts_triangle_free_graph(spark):
+    from rdf_rdfxml_spark.operators.graph import triangle_counts
+    # a path + a 4-cycle: zero triangles, every node still reported
+    edges = [("p1", "p2"), ("p2", "p3"),
+             ("c1", "c2"), ("c2", "c3"), ("c3", "c4"), ("c4", "c1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert len(got) == 7 and set(got.values()) == {0}
