@@ -445,6 +445,17 @@ def q_kg_two_hop_salted(spark, sf_dir):
     return salted_join(hop1, hop2, "mid").select("doc", "origin")
 
 
+def q_corpus_lm_scores(spark, sf_dir):
+    # CCNet-style statistical quality signal: score every document
+    # under an add-one-smoothed bigram LM trained on the corpus itself,
+    # kept integer-exact (rational ppm + BIGINT DIV, no libm-log seam)
+    # so the oracle replays the whole train+score bit-for-bit.
+    from rdf_rdfxml_spark.operators.lm import bigram_lm_scores
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    return bigram_lm_scores(docs)
+
+
 def q_kg_triangles(spark, sf_dir):
     # Triangle participation counts (clustering-coefficient numerator)
     # with degree-ordered orientation — the classic hub-skew-proof
@@ -2189,6 +2200,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bpe_token_count": q_corpus_bpe_token_count,
         # triangle counting with degree-ordered orientation (round 7)
         "kg_triangles": q_kg_triangles,
+        # integer-exact bigram-LM quality scoring (round 7)
+        "corpus_lm_scores": q_corpus_lm_scores,
         # assembly chain WITH sub-document span hygiene (round 7)
         "corpus_assembly_spanclean_stats": q_corpus_assembly_spanclean_stats,
     }
@@ -2731,6 +2744,8 @@ def _all_oracle_sql() -> dict[str, str]:
     oracles["corpus_bpe_vocab"] = bpe_vocab_oracle_sql(n_merges=10)
     oracles["corpus_bpe_token_count"] = \
         bpe_token_counts_oracle_sql(n_merges=10)
+    from rdf_rdfxml_spark.operators.lm import bigram_lm_oracle_sql
+    oracles["corpus_lm_scores"] = bigram_lm_oracle_sql()
     from rdf_rdfxml_spark.operators.graph import triangles_oracle_sql
     oracles["kg_triangles"] = triangles_oracle_sql("""
       SELECT 'd' || CAST(d1.doc_id AS VARCHAR) AS src,

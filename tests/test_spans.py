@@ -134,3 +134,34 @@ def test_min_docs_threshold(spark):
     assert SP.dup_spans(df, min_docs=2).count() == 3
     assert SP.dup_spans(df, min_docs=3).count() == 3
     assert SP.dup_spans(df, min_docs=4).count() == 0
+
+
+def test_bigram_lm_scores_vs_reference(spark):
+    """operators/lm.py pinned against a pure-Python add-one bigram LM
+    (integer ppm arithmetic replicated exactly)."""
+    from collections import Counter
+
+    from rdf_rdfxml_spark.operators.lm import PPM, bigram_lm_scores
+    texts = ["the cat sat on the mat",
+             "the cat ate the cat food",
+             "completely different words here",
+             "the", ""]  # <2 tokens → 0
+    toks = [t.split() for t in texts]
+    c12 = Counter(p for tk in toks for p in zip(tk, tk[1:]))
+    c1 = Counter(w for tk in toks for w in tk)
+    v = len(c1)
+    exp = {}
+    for d, tk in enumerate(toks):
+        bgs = list(zip(tk, tk[1:]))
+        if not bgs:
+            exp[d] = (0, 0)
+            continue
+        ppms = [((c12[bg] + 1) * PPM) // (c1[bg[0]] + v) for bg in bgs]
+        exp[d] = (len(bgs), sum(ppms) // len(bgs))
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.mean_bigram_ppm)
+           for r in bigram_lm_scores(df).collect()}
+    assert got == exp
+    # repeated phrasing scores above out-of-distribution text
+    assert got[0][1] > got[2][1]
