@@ -445,6 +445,16 @@ def q_kg_two_hop_salted(spark, sf_dir):
     return salted_join(hop1, hop2, "mid").select("doc", "origin")
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    # Product quantization completes the quantized-ANN story (scalar
+    # int8 was round 5): per-subspace codebooks trained with INTEGER-
+    # exact Lloyd iterations on the shifted int8 domain, 4-bit codes,
+    # integer ADC ranking — training, encode, and ranking replay
+    # bit-for-bit in the oracle, no float rounding contract at all.
+    from rdf_rdfxml_spark.operators.ann import ann_pq_topk, load_embeddings
+    return ann_pq_topk(load_embeddings(spark, sf_dir))
+
+
 def q_corpus_lm_scores(spark, sf_dir):
     # CCNet-style statistical quality signal: score every document
     # under an add-one-smoothed bigram LM trained on the corpus itself,
@@ -2202,6 +2212,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": q_kg_triangles,
         # integer-exact bigram-LM quality scoring (round 7)
         "corpus_lm_scores": q_corpus_lm_scores,
+        # integer-exact product quantization ADC top-k (round 7)
+        "ann_pq_topk": q_ann_pq_topk,
         # assembly chain WITH sub-document span hygiene (round 7)
         "corpus_assembly_spanclean_stats": q_corpus_assembly_spanclean_stats,
     }
@@ -2746,6 +2758,7 @@ def _all_oracle_sql() -> dict[str, str]:
         bpe_token_counts_oracle_sql(n_merges=10)
     from rdf_rdfxml_spark.operators.lm import bigram_lm_oracle_sql
     oracles["corpus_lm_scores"] = bigram_lm_oracle_sql()
+    oracles["ann_pq_topk"] = _ANN.ann_pq_oracle_sql()
     from rdf_rdfxml_spark.operators.graph import triangles_oracle_sql
     oracles["kg_triangles"] = triangles_oracle_sql("""
       SELECT 'd' || CAST(d1.doc_id AS VARCHAR) AS src,

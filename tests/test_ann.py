@@ -295,3 +295,81 @@ def test_int8_prefilter_hot_cell_chunked_identity(spark):
     want = sorted(tuple(r) for r in
                   _dedup_from_assign(emb, assign, 0.98, False).collect())
     assert got == want and len(got) >= n // 4
+
+
+def test_pq_adc_recall_and_exactness(spark, vectors):
+    """Integer-exact PQ (round 7): ADC top-k recall vs exact float
+    cosine stays useful at 32x compression (64 float dims -> 8 4-bit
+    codes), the ADC distance of an exact duplicate's code is the
+    distance to its own codeword reconstruction (<= any other), and a
+    python replay of the integer pipeline reproduces Spark's distances
+    bit-for-bit (no float anywhere)."""
+    import numpy as np
+    from rdf_rdfxml_spark.operators.ann import (
+        PQ_ITERS, PQ_KS, PQ_M, ann_pq_topk,
+    )
+    ids, v = vectors
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    k, n_queries = 3, 10
+    rows = ann_pq_topk(load_embeddings(spark, SF_DIR),
+                       k=k, n_queries=n_queries).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {int(x) for x in ids if x < n_queries}
+
+    # integer replay: quantize+shift, train, encode, ADC — pure python
+    q = np.round(127.0 * vn).astype(np.int64) + 127
+    idx_of = {int(x): i for i, x in enumerate(ids)}
+    w = 64 // PQ_M
+    subs = q.reshape(len(ids), PQ_M, w)
+    cents = {m: {c: subs[c, m].copy() for c in range(PQ_KS)}
+             for m in range(PQ_M)}
+    for _ in range(PQ_ITERS):
+        assign = {}
+        for m in range(PQ_M):
+            d = {c: ((subs[:, m] - cents[m][c]) ** 2).sum(axis=1)
+                 for c in sorted(cents[m])}
+            mat = np.stack([d[c] for c in sorted(d)], axis=1)
+            assign[m] = mat.argmin(axis=1)  # ties -> lowest cell ✓
+        for m in range(PQ_M):
+            for c in sorted(cents[m]):
+                mem = subs[assign[m] == c, m]
+                if len(mem):
+                    s = mem.sum(axis=0).astype(np.int64)
+                    n = len(mem)
+                    cents[m][c] = (2 * s + n) // (2 * n)
+    codes = {}
+    for m in range(PQ_M):
+        d = np.stack([((subs[:, m] - cents[m][c]) ** 2).sum(axis=1)
+                      for c in sorted(cents[m])], axis=1)
+        codes[m] = d.argmin(axis=1)
+    hits = total = shortlist_hits = 0
+    for qid, rs in by_q.items():
+        qi = idx_of[qid]
+        # exact integer ADC for every neighbor
+        adc = np.zeros(len(ids), dtype=np.int64)
+        for m in range(PQ_M):
+            adc += ((subs[qi, m][None, :]
+                     - np.stack([cents[m][codes[m][j]]
+                                 for j in range(len(ids))])) ** 2) \
+                .sum(axis=1)
+        for r in rs:
+            assert r["adc_l2sq"] == int(adc[idx_of[r["neighbor_id"]]])
+        order = np.argsort(-sims[qi])
+        exact = [int(ids[j]) for j in order if j != qi][:k]
+        got = [r["neighbor_id"] for r in rs]
+        hits += len(set(got) & set(exact))
+        total += k
+        # the production shape: ADC shortlist of 10, exact rerank after
+        adc2 = adc.copy()
+        adc2[qi] = 1 << 60
+        short = {int(ids[j])
+                 for j in np.argsort(adc2, kind="stable")[:10]}
+        shortlist_hits += len(short & set(exact))
+    # near-random vectors are PQ's hard case; the measured sweep in
+    # ann.py picked M=16/ks=16 at 0.40 / 0.70 on this corpus
+    assert hits / total >= 0.3, f"PQ recall@{k} = {hits / total}"
+    assert shortlist_hits / total >= 0.6, \
+        f"top-{k} within ADC top-10 = {shortlist_hits / total}"
