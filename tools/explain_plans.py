@@ -195,6 +195,36 @@ def main():
     from pyspark.sql import functions as F2
     _pairs(words).orderBy(F2.desc("pair_count"), F2.asc("lft"),
                           F2.asc("rgt")).limit(1).explain("formatted")
+
+    print("=" * 72)
+    print("17. triangle counting (round 7) — degree-ordered orientation: "
+          "wedge join + both-direction closing probe, all hash "
+          "equi-joins on narrow (node, node) rows; no window, no UDF; "
+          "the skew proof (perf_data/triangle_skew_r7.json) pins the "
+          "wedge input linear under a full-degree hub")
+    print("=" * 72)
+    from rdf_rdfxml_spark.operators.graph import triangle_counts
+    ids = spark.range(200).selectExpr("concat('d', id) AS src",
+                                      "concat('d', (id * 7 + 1) % 200) "
+                                      "AS dst")
+    triangle_counts(ids).explain("formatted")
+
+    print("=" * 72)
+    print("18. bigram-LM scoring (round 7) — codegen bigram transform "
+          "(no raw-text shuffle), two partial-agg training passes, one "
+          "equi-join probe where hot bigrams are single build rows; "
+          "all-BIGINT ppm arithmetic")
+    print("=" * 72)
+    from rdf_rdfxml_spark.operators.lm import bigram_lm_scores
+    bigram_lm_scores(docs.select("doc_id", "text")).explain("formatted")
+
+    print("=" * 72)
+    print("19. PQ ADC top-k (round 7) — broadcast model-sized codebook "
+          "and ADC tables, long-format integer assignments, per-query "
+          "rank window over narrow rows; integer-exact end to end")
+    print("=" * 72)
+    from rdf_rdfxml_spark.operators.ann import ann_pq_topk, load_embeddings
+    ann_pq_topk(load_embeddings(spark, sf_dir)).explain("formatted")
     spark.stop()
 
 
