@@ -1668,6 +1668,60 @@ def q_selfrep_spans(spark, sf_dir):
     return self_dup_span_stats(docs)
 
 
+#: Deterministic "lined" web-page corpus derived from the flat documents
+#: table (its texts carry no newlines): per-source nav header, a blank
+#: structural line, the unique body, a global footer line shared by ALL
+#: pages, and a per-source copyright line — exactly the boilerplate
+#: population a CCNet-style line dedup must remove (df 500 / 25 / 25 vs
+#: the unique bodies). The oracle splices this CTE so both engines
+#: construct the identical corpus.
+LINED_CTE = ("lined AS (SELECT doc_id, "
+             "'NAV ' || source || ' home about contact' || chr(10) "
+             "|| chr(10) || text || chr(10) "
+             "|| 'Powered by ExampleCMS' || chr(10) "
+             "|| 'COPYRIGHT ' || source AS text FROM documents), ")
+
+
+def _lined_docs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", F.concat(
+        F.lit("NAV "), F.col("source"), F.lit(" home about contact\n\n"),
+        F.col("text"),
+        F.lit("\nPowered by ExampleCMS\nCOPYRIGHT "),
+        F.col("source")).alias("text"))
+
+
+def q_corpus_boilerplate_lines(spark, sf_dir):
+    # CCNet-style line-level boilerplate inventory (operators/lines.py):
+    # every line body shared by >= min_df distinct documents, with its
+    # document frequency. Two partial-aggregating stages, no UDF.
+    from rdf_rdfxml_spark.operators.lines import boilerplate_lines
+    docs = _lined_docs(spark, sf_dir)
+    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    return boilerplate_lines(docs)
+
+
+def q_corpus_line_dedup(spark, sf_dir):
+    # The transform half: rebuild every page with its boilerplate lines
+    # removed (ordered reassembly, blank lines kept). Value-exact on
+    # the cleaned STRINGS, like corpus_dup_span_removal.
+    from rdf_rdfxml_spark.operators.lines import line_dedup
+    docs = _lined_docs(spark, sf_dir)
+    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    return line_dedup(docs)
+
+
+def q_corpus_source_quota(spark, sf_dir):
+    # Per-domain document cap (RefinedWeb-style): a deterministic
+    # uniform quota of 10 docs per source via the two-phase salted
+    # top-k-per-key (operators/sampling.py source_quota — the hot
+    # domain never lands on one task).
+    from rdf_rdfxml_spark.operators.sampling import source_quota
+    docs = _docs(spark, sf_dir)
+    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    return source_quota(docs, 10)
+
+
 def q_corpus_bpe_merges(spark, sf_dir):
     # BPE tokenizer TRAINING (Sennrich et al., arXiv:1508.07909) — learn
     # the merge table from the corpus: one corpus-scale word-freq pass,
@@ -2216,6 +2270,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         # assembly chain WITH sub-document span hygiene (round 7)
         "corpus_assembly_spanclean_stats": q_corpus_assembly_spanclean_stats,
+        # CCNet-style line-frequency boilerplate removal (round 7)
+        "corpus_boilerplate_lines": q_corpus_boilerplate_lines,
+        "corpus_line_dedup": q_corpus_line_dedup,
+        # per-domain quota cap via salted two-phase top-k (round 7)
+        "corpus_source_quota": q_corpus_source_quota,
     }
 
 
@@ -2767,4 +2826,13 @@ def _all_oracle_sql() -> dict[str, str]:
         ON d1.doc_id // 5 = d2.doc_id // 5 AND d1.doc_id < d2.doc_id
       UNION ALL
       SELECT 'h', 'd' || CAST(doc_id AS VARCHAR) FROM documents""")
+    from rdf_rdfxml_spark.operators.lines import (
+        boilerplate_lines_oracle_sql, line_dedup_oracle_sql,
+    )
+    oracles["corpus_boilerplate_lines"] = boilerplate_lines_oracle_sql(
+        table="lined", prefix_cte=LINED_CTE)
+    oracles["corpus_line_dedup"] = line_dedup_oracle_sql(
+        table="lined", prefix_cte=LINED_CTE)
+    from rdf_rdfxml_spark.operators.sampling import source_quota_oracle_sql
+    oracles["corpus_source_quota"] = source_quota_oracle_sql(10)
     return oracles

@@ -126,6 +126,68 @@ def mix_plan(docs: DataFrame, *, stratum_col: str = "source",
                     .alias("alloc_tokens")))
 
 
+def source_quota(docs: DataFrame, quota: int, *,
+                 stratum_col: str = "source",
+                 id_col: str = "doc_id",
+                 salt: str = "quota:v1",
+                 n_salts: int = 32) -> DataFrame:
+    """Per-stratum document CAP: keep at most ``quota`` documents per
+    ``stratum_col`` value — the RefinedWeb-style per-domain quota that
+    stops one mega-site from dominating the mix. Output ``(id_col,
+    stratum_col, rank)`` with ``rank`` in 1..quota (BIGINT).
+
+    Selection is the ``quota`` smallest ``(u32(salt, id), id)`` pairs
+    per stratum — i.e. a deterministic uniform sample of exactly
+    ``quota`` docs (CLAUDE.md determinism invariant: retries and
+    engines agree bit-for-bit, and the oracle replays it as one
+    window).
+
+    Scale shape — two-phase top-k-per-key, all JVM-side: a naive
+    ``row_number`` over ``PARTITION BY stratum`` puts a hot domain's
+    every row on ONE task (the classic 100 TB straggler). Phase 1
+    instead ranks over ``(stratum, salt_bucket)`` — the hot key spreads
+    across ``n_salts`` tasks — and keeps <= quota rows per bucket;
+    phase 2 ranks the surviving <= ``n_salts * quota`` rows per stratum
+    (a bounded-size reducer regardless of corpus size). Exact: every
+    global top-``quota`` element is top-``quota`` within its own
+    bucket, so phase 1 never discards a winner, and the phase-2
+    ordering key is identical — ranks match the single-window result
+    bit-for-bit (pinned by tests/test_lines.py)."""
+    assert quota >= 1 and n_salts >= 1
+    from pyspark.sql import Window
+    pruned = (docs
+              .withColumn("_u", F.expr(_u32_expr(salt, id_col)))
+              .withColumn("_b", F.expr(
+                  f"pmod(xxhash64(CAST({id_col} AS STRING)), {n_salts})"))
+              .select(id_col, stratum_col, "_u", "_b"))
+    w1 = Window.partitionBy(stratum_col, "_b").orderBy("_u", id_col)
+    w2 = Window.partitionBy(stratum_col).orderBy("_u", id_col)
+    return (pruned
+            .withColumn("_rn1", F.row_number().over(w1))
+            .filter(F.col("_rn1") <= quota)
+            .withColumn("rank", F.row_number().over(w2).cast("long"))
+            .filter(F.col("rank") <= quota)
+            .select(id_col, stratum_col, "rank"))
+
+
+def source_quota_oracle_sql(quota: int, *, stratum_col: str = "source",
+                            id_col: str = "doc_id",
+                            salt: str = "quota:v1",
+                            table: str = "documents") -> str:
+    """DuckDB twin of :func:`source_quota` — the salt buckets are a
+    physical-plan device only, so the oracle is the single logical
+    window."""
+    u = (f"CAST(('0x' || substring(md5('{salt}' || ':' || "
+         f"CAST({id_col} AS STRING)), 1, 8))::VARCHAR::UBIGINT AS BIGINT)")
+    return f"""
+    SELECT {id_col}, {stratum_col}, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT {id_col}, {stratum_col},
+             ROW_NUMBER() OVER (PARTITION BY {stratum_col}
+                                ORDER BY {u}, {id_col}) AS rn
+      FROM {table})
+    WHERE rn <= {quota}"""
+
+
 def mix_plan_oracle_sql(*, stratum_col: str = "source",
                         text_col: str = "text", alpha: str = "sqrt",
                         token_budget: int = 1_000_000,
