@@ -142,13 +142,18 @@ def source_quota(docs: DataFrame, quota: int, *,
     engines agree bit-for-bit, and the oracle replays it as one
     window).
 
-    Scale shape — two-phase top-k-per-key, all JVM-side: a naive
-    ``row_number`` over ``PARTITION BY stratum`` puts a hot domain's
-    every row on ONE task (the classic 100 TB straggler). Phase 1
-    instead ranks over ``(stratum, salt_bucket)`` — the hot key spreads
-    across ``n_salts`` tasks — and keeps <= quota rows per bucket;
-    phase 2 ranks the surviving <= ``n_salts * quota`` rows per stratum
-    (a bounded-size reducer regardless of corpus size). Exact: every
+    Scale shape — two-phase top-k-per-key, all JVM-side. Spark >= 3.5
+    already inserts a PARTIAL ``WindowGroupLimit`` before the shuffle
+    (visible in the committed plan), so even a naive single window
+    ships only ``quota`` rows per hot key per MAP TASK — but its final
+    reducer still receives ``quota x n_map_tasks`` rows for the hot
+    stratum, a bound that grows with cluster width. Phase 1 here ranks
+    over ``(stratum, salt_bucket)`` — the hot key spreads across
+    ``n_salts`` tasks — and keeps <= quota rows per bucket; phase 2
+    ranks the surviving <= ``n_salts * quota`` rows per stratum (a
+    CONSTANT-size reducer regardless of corpus or cluster width, and
+    each window benefits from the same partial group-limit). Exact:
+    every
     global top-``quota`` element is top-``quota`` within its own
     bucket, so phase 1 never discards a winner, and the phase-2
     ordering key is identical — ranks match the single-window result

@@ -225,6 +225,30 @@ def main():
     print("=" * 72)
     from rdf_rdfxml_spark.operators.ann import ann_pq_topk, load_embeddings
     ann_pq_topk(load_embeddings(spark, sf_dir)).explain("formatted")
+
+    print("=" * 72)
+    print("20. line-frequency boilerplate dedup (round 7) — posexplode "
+          "lines (narrow), TWO partial-agg stages for the distinct-doc "
+          "frequency (the corpus-wide footer hot key collapses to one "
+          "row per map task), broadcast/AQE anti-join against the "
+          "bounded blocklist (set-membership — no pair term), per-doc "
+          "reassembly window state bounded by one document")
+    print("=" * 72)
+    from rdf_rdfxml_spark.operators.lines import line_dedup
+    lined = docs.selectExpr(
+        "doc_id", "concat('H\\n', text, '\\nF') AS text")
+    line_dedup(lined).explain("formatted")
+
+    print("=" * 72)
+    print("21. per-source quota cap (round 7) — two-phase salted "
+          "top-k-per-key: phase-1 window over (stratum, salt) spreads "
+          "the hot domain across n_salts tasks, phase-2 window sees "
+          "<= n_salts x quota rows per stratum; plan must show BOTH "
+          "exchanges over narrow (id, stratum, u) rows only")
+    print("=" * 72)
+    from rdf_rdfxml_spark.operators.sampling import source_quota
+    source_quota(docs.selectExpr("doc_id", "source"), 10) \
+        .explain("formatted")
     spark.stop()
 
 
