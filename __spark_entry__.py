@@ -1722,6 +1722,27 @@ def q_corpus_source_quota(spark, sf_dir):
     return source_quota(docs, 10)
 
 
+def q_corpus_kmv_distinct(spark, sf_dir):
+    # KMV/bottom-k distinct sketch: distinct 16-gram estimate from k
+    # smallest 60-bit hashes (state = k longs, union = min-k). The
+    # exact count rides along for accuracy reporting.
+    from rdf_rdfxml_spark.operators.distinct_sketch import kmv_distinct
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    return kmv_distinct(docs)
+
+
+def q_corpus_hll_distinct(spark, sf_dir):
+    # HyperLogLog distinct sketch, integer-exact cross-engine: m=1024
+    # registers via partial-agg groupBy(bucket).max(rho) — the textbook
+    # mergeable-sketch plan (m-row exchange, zero data-sized shuffles,
+    # no distinct pass anywhere in the estimate path).
+    from rdf_rdfxml_spark.operators.distinct_sketch import hll_distinct
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    return hll_distinct(docs)
+
+
 def q_corpus_bpe_merges(spark, sf_dir):
     # BPE tokenizer TRAINING (Sennrich et al., arXiv:1508.07909) — learn
     # the merge table from the corpus: one corpus-scale word-freq pass,
@@ -2275,6 +2296,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_line_dedup": q_corpus_line_dedup,
         # per-domain quota cap via salted two-phase top-k (round 7)
         "corpus_source_quota": q_corpus_source_quota,
+        # mergeable distinct-count sketches (round 7)
+        "corpus_kmv_distinct": q_corpus_kmv_distinct,
+        "corpus_hll_distinct": q_corpus_hll_distinct,
     }
 
 
@@ -2835,4 +2859,9 @@ def _all_oracle_sql() -> dict[str, str]:
         table="lined", prefix_cte=LINED_CTE)
     from rdf_rdfxml_spark.operators.sampling import source_quota_oracle_sql
     oracles["corpus_source_quota"] = source_quota_oracle_sql(10)
+    from rdf_rdfxml_spark.operators.distinct_sketch import (
+        hll_distinct_oracle_sql, kmv_distinct_oracle_sql,
+    )
+    oracles["corpus_kmv_distinct"] = kmv_distinct_oracle_sql()
+    oracles["corpus_hll_distinct"] = hll_distinct_oracle_sql()
     return oracles

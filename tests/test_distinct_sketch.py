@@ -1,0 +1,65 @@
+"""KMV / HyperLogLog distinct sketches (operators/distinct_sketch.py)."""
+
+from pyspark.sql import functions as F
+
+from rdf_rdfxml_spark.operators.distinct_sketch import (
+    GRAM_K, _gram_hashes, hll_distinct, hll_state, kmv_distinct,
+)
+
+
+def _docs(spark, n=300, words=40):
+    # deterministic word-soup docs, plenty of distinct 16-grams
+    rows = [(i, " ".join(f"w{(i * 9973 + j * 131) % 99991:05d}"
+                         for j in range(words))) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_short_docs_produce_no_partial_grams(spark):
+    # Spark sequence(1, n<1) is DESCENDING — the guard must yield zero
+    # grams for texts shorter than k, not junk substrings
+    d = spark.createDataFrame([(1, "tiny"), (2, ""), (3, None)],
+                              "doc_id long, text string")
+    assert _gram_hashes(d, k=GRAM_K).count() == 0
+
+
+def test_kmv_estimate_within_tolerance(spark):
+    row = kmv_distinct(_docs(spark)).collect()[0]
+    exact = row["exact_distinct"]
+    assert exact > 5000
+    # k=256 → σ ≈ 6.3%; allow 4σ
+    assert abs(row["est_distinct"] - exact) / exact < 0.25
+
+
+def test_kmv_small_cardinality_is_exact(spark):
+    d = spark.createDataFrame([(1, "abcdefghijklmnopqr")],
+                              "doc_id long, text string")
+    row = kmv_distinct(d).collect()[0]  # 3 grams << k
+    assert row["est_distinct"] == row["exact_distinct"] == 3
+
+
+def test_hll_estimate_within_tolerance(spark):
+    row = hll_distinct(_docs(spark)).collect()[0]
+    exact = row["exact_distinct"]
+    # m=1024 → σ ≈ 3.3%; allow 4σ
+    assert abs(row["est_distinct"] - exact) / exact < 0.13
+    assert row["m"] == 1024 and row["nonzero_buckets"] <= 1024
+
+
+def test_hll_state_merges_by_bucket_max(spark):
+    # THE sketch property: state(A ∪ B) == per-bucket max of the states
+    a = _docs(spark, n=100)
+    b = _docs(spark, n=100).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail words here"))
+        .alias("text"))
+    merged = (hll_state(a).unionByName(hll_state(b))
+              .groupBy("bucket").agg(F.max("rho").alias("rho")))
+    direct = hll_state(a.unionByName(b))
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
+
+
+def test_sketches_are_deterministic(spark):
+    d = _docs(spark, n=50)
+    assert kmv_distinct(d).collect() == kmv_distinct(d).collect()
+    assert hll_distinct(d).collect() == hll_distinct(d).collect()
