@@ -249,6 +249,16 @@ def main():
     from rdf_rdfxml_spark.operators.sampling import source_quota
     source_quota(docs.selectExpr("doc_id", "source"), 10) \
         .explain("formatted")
+
+    print("=" * 72)
+    print("22. HyperLogLog register build (round 7) — the textbook "
+          "mergeable-sketch plan: codegen gram explode + hash, "
+          "partial-agg groupBy(bucket).max(rho) so each map task ships "
+          "at most m=1024 rows; the ONLY exchange is the m-row state, "
+          "never grams; no distinct pass anywhere")
+    print("=" * 72)
+    from rdf_rdfxml_spark.operators.distinct_sketch import hll_state
+    hll_state(docs.select("doc_id", "text")).explain("formatted")
     spark.stop()
 
 

@@ -72,6 +72,7 @@ def main():
     from bench import _mk_session
     from corpus_ops_scale import _corpus
     from rdf_rdfxml_spark.operators.ann import ann_pq_topk
+    from rdf_rdfxml_spark.operators.distinct_sketch import hll_state
     from rdf_rdfxml_spark.operators.lines import line_dedup
     from rdf_rdfxml_spark.operators.lm import bigram_lm_scores
     from rdf_rdfxml_spark.operators.sampling import source_quota
@@ -124,6 +125,13 @@ def main():
             "n_kept": int(r["result"][0][0]),
             "rank_sum": int(r["result"][0][1]),
             "wall_sec": r["wall_sec"], "samples": r["samples"]}
+
+        # the SKETCH path alone (register build + m-row collect) — the
+        # exact-distinct rider in hll_distinct is reporting, not sketch
+        r = _timed(lambda: len(hll_state(docs).collect()))
+        leg["hll_state"] = {"nonzero_buckets": r["result"],
+                            "wall_sec": r["wall_sec"],
+                            "samples": r["samples"]}
         legs[f"{scale}x"] = leg
         docs.unpersist()
 
@@ -139,7 +147,7 @@ def main():
 
     ratio = hi // lo
     for op in ("bigram_lm_scores", "line_dedup", "source_quota",
-               "ann_pq_topk"):
+               "hll_state", "ann_pq_topk"):
         w1 = legs[f"{lo}x"][op]["wall_sec"]
         w10 = legs[f"{hi}x"][op]["wall_sec"]
         legs[f"wall_ratio_{op}"] = round(w10 / w1, 2)
