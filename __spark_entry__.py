@@ -1722,6 +1722,34 @@ def q_corpus_source_quota(spark, sf_dir):
     return source_quota(docs, 10)
 
 
+def q_corpus_ccnet_stats(spark, sf_dir):
+    # The CCNet pipeline (Wenzek et al., arXiv:1911.00359) composed
+    # end-to-end: line-frequency boilerplate removal → bigram-LM
+    # scoring of the CLEANED text → head/middle/tail tercile split
+    # (NTILE over the narrow per-doc score rows; at 100 TB the cuts
+    # would be precomputed thresholds — the sort here is over
+    # fixed-width score rows, never text). Per-bucket accounting, all
+    # BIGINT; the oracle splices the lined-corpus, line-dedup, and LM
+    # CTE chains and replays the identical NTILE.
+    from pyspark.sql import Window
+    from rdf_rdfxml_spark.operators.lines import line_dedup
+    from rdf_rdfxml_spark.operators.lm import bigram_lm_scores
+    lined = _lined_docs(spark, sf_dir)
+    lined = lined.repartition(2 * spark.sparkContext.defaultParallelism)
+    cleaned = line_dedup(lined)
+    scores = bigram_lm_scores(
+        cleaned.select("doc_id", F.col("clean_text").alias("text")))
+    w = Window.orderBy(F.desc("mean_bigram_ppm"), F.asc("doc_id"))
+    b = scores.withColumn("bucket", F.ntile(3).over(w).cast("long"))
+    return (b.join(cleaned.select("doc_id", "clean_chars"), "doc_id")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("clean_chars").alias("clean_chars"),
+                 F.sum("n_bigrams").alias("n_bigrams"),
+                 F.min("mean_bigram_ppm").alias("min_ppm"),
+                 F.max("mean_bigram_ppm").alias("max_ppm")))
+
+
 def q_corpus_kmv_distinct(spark, sf_dir):
     # KMV/bottom-k distinct sketch: distinct 16-gram estimate from k
     # smallest 60-bit hashes (state = k longs, union = min-k). The
@@ -2299,6 +2327,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mergeable distinct-count sketches (round 7)
         "corpus_kmv_distinct": q_corpus_kmv_distinct,
         "corpus_hll_distinct": q_corpus_hll_distinct,
+        # the composed CCNet pipeline: line dedup → LM score → terciles
+        "corpus_ccnet_stats": q_corpus_ccnet_stats,
     }
 
 
@@ -2864,4 +2894,24 @@ def _all_oracle_sql() -> dict[str, str]:
     )
     oracles["corpus_kmv_distinct"] = kmv_distinct_oracle_sql()
     oracles["corpus_hll_distinct"] = hll_distinct_oracle_sql()
+    from rdf_rdfxml_spark.operators.lines import line_dedup_ctes
+    from rdf_rdfxml_spark.operators.lm import bigram_lm_ctes
+    oracles["corpus_ccnet_stats"] = f"""
+    WITH {LINED_CTE}
+    {line_dedup_ctes(table="lined", out="ccnet_clean")},
+    ccnet_docs AS (SELECT doc_id, text FROM ccnet_clean),
+    {bigram_lm_ctes(table="ccnet_docs", out="ccnet_lm")},
+    ccnet_b AS (
+      SELECT doc_id, n_bigrams, mean_bigram_ppm,
+             NTILE(3) OVER (ORDER BY mean_bigram_ppm DESC, doc_id)
+               AS bucket
+      FROM ccnet_lm)
+    SELECT CAST(b.bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(c.text)) AS BIGINT) AS clean_chars,
+           CAST(SUM(b.n_bigrams) AS BIGINT) AS n_bigrams,
+           CAST(MIN(b.mean_bigram_ppm) AS BIGINT) AS min_ppm,
+           CAST(MAX(b.mean_bigram_ppm) AS BIGINT) AS max_ppm
+    FROM ccnet_b b JOIN ccnet_clean c USING (doc_id)
+    GROUP BY b.bucket"""
     return oracles

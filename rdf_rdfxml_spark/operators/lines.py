@@ -120,23 +120,51 @@ def line_dedup(docs: DataFrame, *, min_df: int = LINE_MIN_DF,
 # DuckDB oracle twins
 # --------------------------------------------------------------------------
 
-def _lines_cte(*, table: str) -> str:
-    """CTE chain ending in ``l(doc_id, pos, line)`` with the loud
-    per-document line-count guard (ORACLE_LINE_BOUND)."""
-    return f"""_lineguard AS (
+def _lines_cte(*, table: str, pfx: str = "") -> str:
+    """CTE chain ending in ``{pfx}l(doc_id, pos, line)`` with the loud
+    per-document line-count guard (ORACLE_LINE_BOUND). ``pfx`` keeps
+    names collision-free when spliced into composed pipeline oracles."""
+    return f"""{pfx}guard AS (
       SELECT CASE WHEN MAX(len(string_split(text, chr(10))))
                     > {ORACLE_LINE_BOUND}
              THEN error('oracle line bound {ORACLE_LINE_BOUND} '
                         'exceeded in {table}')
              ELSE 1 END AS ok FROM {table}),
-    l AS (
+    {pfx}l AS (
       SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
              list_extract(string_split(text, chr(10)),
                           CAST(i AS INTEGER)) AS line
-      FROM {table}, _lineguard,
+      FROM {table}, {pfx}guard,
            generate_series(1, {ORACLE_LINE_BOUND}) s(i)
-      WHERE _lineguard.ok = 1
+      WHERE {pfx}guard.ok = 1
         AND i <= len(string_split(text, chr(10))))"""
+
+
+def line_dedup_ctes(*, min_df: int = LINE_MIN_DF,
+                    table: str = "documents",
+                    out: str = "line_cleaned") -> str:
+    """The full line-dedup pipeline as a spliceable CTE chain ending in
+    ``{out}(doc_id, n_removed, text)`` — used by
+    :func:`line_dedup_oracle_sql` and composed into larger pipeline
+    oracles (the spans.py ``dup_span_removal_ctes`` pattern). Internal
+    names carry the ``ld_`` prefix to stay collision-free."""
+    return f"""{_lines_cte(table=table, pfx="ld_")},
+    ld_block AS (
+      SELECT line FROM ld_l WHERE trim(line) <> ''
+      GROUP BY line HAVING COUNT(DISTINCT doc_id) >= {min_df}),
+    ld_kept AS (
+      SELECT l.doc_id, l.pos, l.line
+      FROM ld_l l ANTI JOIN ld_block USING (line)),
+    ld_per AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS ctext
+      FROM ld_kept GROUP BY doc_id),
+    {out} AS (
+      SELECT d.doc_id,
+             CAST(len(string_split(d.text, chr(10)))
+                  - COALESCE(p.n_kept, 0) AS BIGINT) AS n_removed,
+             COALESCE(p.ctext, '') AS text
+      FROM {table} d LEFT JOIN ld_per p USING (doc_id))"""
 
 
 def boilerplate_lines_oracle_sql(*, min_df: int = LINE_MIN_DF,
@@ -156,20 +184,10 @@ def line_dedup_oracle_sql(*, min_df: int = LINE_MIN_DF,
                           prefix_cte: str = "") -> str:
     """DuckDB twin of :func:`line_dedup` — same blocklist, ANTI JOIN,
     ordered ``string_agg`` reassembly."""
-    return f"""WITH {prefix_cte}{_lines_cte(table=table)},
-    block AS (
-      SELECT line FROM l WHERE trim(line) <> ''
-      GROUP BY line HAVING COUNT(DISTINCT doc_id) >= {min_df}),
-    kept AS (
-      SELECT l.doc_id, l.pos, l.line
-      FROM l ANTI JOIN block USING (line)),
-    per AS (
-      SELECT doc_id, COUNT(*) AS n_kept,
-             string_agg(line, chr(10) ORDER BY pos) AS ctext
-      FROM kept GROUP BY doc_id)
-    SELECT d.doc_id,
-           CAST(len(string_split(d.text, chr(10)))
-                - COALESCE(p.n_kept, 0) AS BIGINT) AS n_removed,
-           CAST(len(COALESCE(p.ctext, '')) AS BIGINT) AS clean_chars,
-           COALESCE(p.ctext, '') AS clean_text
-    FROM {table} d LEFT JOIN per p USING (doc_id)"""
+    return f"""WITH {prefix_cte}{line_dedup_ctes(min_df=min_df,
+                                                 table=table,
+                                                 out="line_cleaned")}
+    SELECT doc_id, n_removed,
+           CAST(len(text) AS BIGINT) AS clean_chars,
+           text AS clean_text
+    FROM line_cleaned"""

@@ -91,42 +91,55 @@ def bigram_lm_scores(docs: DataFrame) -> DataFrame:
             .fillna(0, ["n_bigrams", "mean_bigram_ppm"]))
 
 
-def bigram_lm_oracle_sql(*, table: str = "documents") -> str:
-    return f"""
-    WITH toks AS (
+def bigram_lm_ctes(*, table: str, out: str = "lm_scores") -> str:
+    """The full train+score pipeline as a spliceable CTE chain ending
+    in ``{out}(doc_id, n_bigrams, mean_bigram_ppm)`` — used by
+    :func:`bigram_lm_oracle_sql` and composed into pipeline oracles
+    (the spans.py CTE-chain pattern). Internal names carry the ``lm_``
+    prefix to stay collision-free."""
+    return f"""lm_toks AS (
       SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '')
                AS tk
       FROM {table}),
-    _tokguard AS (
+    lm_guard AS (
       SELECT CASE WHEN MAX(len(tk)) > 100000
              THEN error('oracle token bound 100000 exceeded in {table}')
-             ELSE 1 END AS ok FROM toks),
-    big AS (
+             ELSE 1 END AS ok FROM lm_toks),
+    lm_big AS (
       SELECT doc_id, tk[CAST(i AS INTEGER)] AS w1,
              tk[CAST(i AS INTEGER) + 1] AS w2
-      FROM toks, _tokguard, generate_series(1, 100000) g(i)
-      WHERE _tokguard.ok = 1 AND i <= len(tk) - 1),
-    model AS (
+      FROM lm_toks, lm_guard, generate_series(1, 100000) g(i)
+      WHERE lm_guard.ok = 1 AND i <= len(tk) - 1),
+    lm_model AS (
       SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
-      FROM big GROUP BY w1, w2),
-    uni AS (
+      FROM lm_big GROUP BY w1, w2),
+    lm_uni AS (
       SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
-      FROM (SELECT doc_id, UNNEST(tk) AS w1 FROM toks) GROUP BY w1),
-    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
-    scored AS (
+      FROM (SELECT doc_id, UNNEST(tk) AS w1 FROM lm_toks) GROUP BY w1),
+    lm_v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM lm_uni),
+    lm_scored AS (
       SELECT b.doc_id,
-             ((m.c12 + 1) * {PPM}) // (u.c1 + v.v) AS ppm
-      FROM big b
-      JOIN model m USING (w1, w2)
-      JOIN uni u USING (w1)
-      CROSS JOIN v),
-    per AS (
+             ((m.c12 + 1) * {PPM}) // (u.c1 + lm_v.v) AS ppm
+      FROM lm_big b
+      JOIN lm_model m USING (w1, w2)
+      JOIN lm_uni u USING (w1)
+      CROSS JOIN lm_v),
+    lm_per AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
              CAST(SUM(ppm) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
                AS mean_bigram_ppm
-      FROM scored GROUP BY doc_id)
-    SELECT d.doc_id,
-           CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-           CAST(COALESCE(p.mean_bigram_ppm, 0) AS BIGINT)
-             AS mean_bigram_ppm
-    FROM {table} d LEFT JOIN per p USING (doc_id)"""
+      FROM lm_scored GROUP BY doc_id),
+    {out} AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             CAST(COALESCE(p.mean_bigram_ppm, 0) AS BIGINT)
+               AS mean_bigram_ppm
+      FROM {table} d LEFT JOIN lm_per p USING (doc_id))"""
+
+
+def bigram_lm_oracle_sql(*, table: str = "documents") -> str:
+    return f"""
+    WITH {bigram_lm_ctes(table=table, out="lm_scores")}
+    SELECT doc_id, n_bigrams, mean_bigram_ppm FROM lm_scores"""
+
+
