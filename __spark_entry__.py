@@ -1722,6 +1722,57 @@ def q_corpus_source_quota(spark, sf_dir):
     return source_quota(docs, 10)
 
 
+def q_kg_kcore(spark, sf_dir):
+    # k-core pruning (k=4) over a deterministic graph crafted to need a
+    # REAL multi-round cascade: 5-cliques (in-clique degree 4, the
+    # surviving core), a chain (degree <= 3 with its tier-1 links —
+    # peels round 1), tier-1 nodes supported by 3 chain nodes + 1
+    # tier-2 link (peel round 2), tier-2 nodes supported by 3 tier-1
+    # + 1 clique anchor (peel round 3); fixpoint at round 4. The
+    # oracle replays the synchronous peel as chained MATERIALIZED
+    # levels with a loud non-convergence error() guard.
+    from rdf_rdfxml_spark.operators.graph import kcore
+    d = _docs(spark, sf_dir).select("doc_id")
+    cl = (d.alias("x").join(
+        d.alias("y"),
+        F.expr("x.doc_id DIV 5 = y.doc_id DIV 5 "
+               "AND x.doc_id < y.doc_id"))
+        .selectExpr("concat('k', x.doc_id) AS src",
+                    "concat('k', y.doc_id) AS dst"))
+    ch = d.selectExpr("concat('c', doc_id) AS src",
+                      "concat('c', doc_id + 1) AS dst")
+    t1 = d.selectExpr("concat('t1_', doc_id DIV 3) AS src",
+                      "concat('c', doc_id) AS dst")
+    t2 = d.selectExpr("concat('t2_', doc_id DIV 9) AS src",
+                      "concat('t1_', doc_id DIV 3) AS dst")
+    anchor = (d.filter("doc_id % 9 = 0")
+              .selectExpr("concat('t2_', doc_id DIV 9) AS src",
+                          "concat('k', doc_id) AS dst"))
+    edges = cl.unionByName(ch).unionByName(t1) \
+        .unionByName(t2).unionByName(anchor)
+    return kcore(edges, 4)
+
+
+KCORE_EDGES_SQL = """
+      SELECT 'k' || CAST(d1.doc_id AS VARCHAR) AS src,
+             'k' || CAST(d2.doc_id AS VARCHAR) AS dst
+      FROM documents d1 JOIN documents d2
+        ON d1.doc_id // 5 = d2.doc_id // 5 AND d1.doc_id < d2.doc_id
+      UNION ALL
+      SELECT 'c' || CAST(doc_id AS VARCHAR),
+             'c' || CAST(doc_id + 1 AS VARCHAR) FROM documents
+      UNION ALL
+      SELECT 't1_' || CAST(doc_id // 3 AS VARCHAR),
+             'c' || CAST(doc_id AS VARCHAR) FROM documents
+      UNION ALL
+      SELECT 't2_' || CAST(doc_id // 9 AS VARCHAR),
+             't1_' || CAST(doc_id // 3 AS VARCHAR) FROM documents
+      UNION ALL
+      SELECT 't2_' || CAST(doc_id // 9 AS VARCHAR),
+             'k' || CAST(doc_id AS VARCHAR) FROM documents
+      WHERE doc_id % 9 = 0"""
+
+
 def q_corpus_ccnet_stats(spark, sf_dir):
     # The CCNet pipeline (Wenzek et al., arXiv:1911.00359) composed
     # end-to-end: line-frequency boilerplate removal → bigram-LM
@@ -2329,6 +2380,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_hll_distinct": q_corpus_hll_distinct,
         # the composed CCNet pipeline: line dedup → LM score → terciles
         "corpus_ccnet_stats": q_corpus_ccnet_stats,
+        # iterative k-core peeling with a chained-level oracle
+        "kg_kcore": q_kg_kcore,
     }
 
 
@@ -2914,4 +2967,7 @@ def _all_oracle_sql() -> dict[str, str]:
            CAST(MAX(b.mean_bigram_ppm) AS BIGINT) AS max_ppm
     FROM ccnet_b b JOIN ccnet_clean c USING (doc_id)
     GROUP BY b.bucket"""
+    from rdf_rdfxml_spark.operators.graph import kcore_oracle_sql
+    oracles["kg_kcore"] = kcore_oracle_sql(KCORE_EDGES_SQL, 4,
+                                           n_rounds=6)
     return oracles

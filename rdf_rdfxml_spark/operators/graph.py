@@ -366,3 +366,95 @@ def triangles_oracle_sql(edges_sql: str) -> str:
     SELECT d.node, CAST(COALESCE(m.n_triangles, 0) AS BIGINT)
              AS n_triangles
     FROM deg d LEFT JOIN member m USING (node)"""
+
+
+def kcore(edges: DataFrame, k: int, *, max_rounds: int = 32) -> DataFrame:
+    """The k-core of an undirected graph given as (src, dst) rows: the
+    maximal subgraph in which every node has degree >= ``k`` (Seidman,
+    Social Networks 1983 — the standard KG/community pruning primitive;
+    a dedup/link graph's k-core is its "dense evidence" region).
+    Returns ``(node, core_deg)`` — the surviving nodes with their
+    degree INSIDE the core (BIGINT); empty when no k-core exists.
+
+    Algorithm: synchronous peeling — each round recomputes degrees
+    (partial-agg hash aggregate over narrow node rows) and drops EVERY
+    node below ``k`` at once via two left-semi joins, until a round
+    removes nothing. Rounds are data-dependent but bounded by the
+    peeling depth (the longest support chain), not by graph size — the
+    gated corpus converges in 4; ``max_rounds`` is the loud backstop.
+
+    Scale shape: per round, one degree hash-agg + two semi-joins on
+    (node, node) rows — no windows, no UDFs, nothing corpus-sized on
+    the driver (one COUNT scalar per round for the fixpoint test);
+    ``localCheckpoint`` cuts the iterative lineage like the other
+    iterative stages (pagerank/components). A full-degree hub is a
+    semi-join build row, never a fan-out source.
+
+    Dedup/cleanup contract matches :func:`triangle_counts`: self-loops
+    dropped, parallel/bidirectional duplicates collapse.
+    """
+    assert k >= 1
+    cur = (edges.selectExpr("least(src, dst) AS a",
+                            "greatest(src, dst) AS b")
+           .filter("a <> b").distinct())
+    cur = cur.persist()
+    prev_n = -1
+    for _ in range(max_rounds):
+        deg = (cur.selectExpr("a AS node")
+               .unionAll(cur.selectExpr("b AS node"))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("core_deg")))
+        keep = deg.filter(F.col("core_deg") >= k).persist()
+        n = keep.count()
+        if n == prev_n:
+            keep.unpersist()
+            break
+        prev_n = n
+        nxt = (cur.join(keep.selectExpr("node AS a"), "a", "left_semi")
+               .join(keep.selectExpr("node AS b"), "b", "left_semi")
+               .select("a", "b"))
+        nxt = nxt.localCheckpoint(eager=True)
+        cur.unpersist()
+        keep.unpersist()
+        cur = nxt
+        if n == 0:
+            break
+    out = (cur.selectExpr("a AS node")
+           .unionAll(cur.selectExpr("b AS node"))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("core_deg")))
+    return out
+
+
+def kcore_oracle_sql(edges_sql: str, k: int, *, n_rounds: int = 6) -> str:
+    """DuckDB twin of :func:`kcore` — the synchronous peel replayed as
+    ``n_rounds`` chained MATERIALIZED CTE levels (the BPE chained-
+    oracle pattern; inlining would recompute level 0 exponentially),
+    with a loud ``error()`` guard proving the last two levels are the
+    fixpoint — if the graph needs more rounds, the oracle REFUSES
+    rather than silently under-peeling."""
+    assert n_rounds >= 2
+    parts = [f"""raw_edges AS ({edges_sql}),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw_edges WHERE src <> dst)"""]
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""n{r} AS MATERIALIZED (
+      SELECT node FROM (SELECT a AS node FROM e{r - 1}
+                        UNION ALL SELECT b FROM e{r - 1})
+      GROUP BY node HAVING COUNT(*) >= {k})""")
+        parts.append(f"""e{r} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{r - 1} e
+      SEMI JOIN n{r} na ON e.a = na.node
+      SEMI JOIN n{r} nb ON e.b = nb.node)""")
+    parts.append(f"""_fix AS (
+      SELECT CASE WHEN (SELECT COUNT(*) FROM n{n_rounds})
+                    <> (SELECT COUNT(*) FROM n{n_rounds - 1})
+             THEN error('kcore oracle: not converged in {n_rounds} '
+                        'rounds — raise n_rounds')
+             ELSE 1 END AS ok)""")
+    return f"""
+    WITH {','.join(parts)}
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM (SELECT a AS node FROM e{n_rounds}
+          UNION ALL SELECT b FROM e{n_rounds}), _fix
+    WHERE _fix.ok = 1
+    GROUP BY node"""

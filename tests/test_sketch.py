@@ -452,3 +452,52 @@ def test_triangle_counts_triangle_free_graph(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
     assert len(got) == 7 and set(got.values()) == {0}
+
+
+# --- k-core --------------------------------------------------------------
+
+def _ref_kcore(edge_list, k):
+    """Brute-force synchronous peel: returns {node: core_deg}."""
+    edges = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+    while True:
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        drop = {n for n, d in deg.items() if d < k}
+        if not drop:
+            return deg
+        edges = {e for e in edges if e[0] not in drop and e[1] not in drop}
+        if not edges:
+            return {}
+
+
+def test_kcore_vs_brute_force(spark):
+    from rdf_rdfxml_spark.operators.graph import kcore
+    # pseudo-random multigraph with self-loops and duplicates
+    el = [(f"n{(i * 13) % 23}", f"n{(i * 7 + 3) % 23}")
+          for i in range(80)]
+    df = spark.createDataFrame(el, "src string, dst string")
+    for k in (2, 3, 4):
+        got = {r["node"]: r["core_deg"]
+               for r in kcore(df, k).collect()}
+        assert got == _ref_kcore(el, k), f"k={k}"
+
+
+def test_kcore_multi_round_cascade(spark):
+    from rdf_rdfxml_spark.operators.graph import kcore
+    # square core {a,b,c,d}; x supported only by 2 chain nodes that
+    # peel first; y supported by x — a 3-round cascade at k=2
+    el = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+          ("p", "x"), ("q", "x"), ("x", "y"), ("y", "a")]
+    got = {r["node"]: r["core_deg"]
+           for r in kcore(spark.createDataFrame(
+               el, "src string, dst string"), 2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2, "d": 2}
+
+
+def test_kcore_empty_when_no_core(spark):
+    from rdf_rdfxml_spark.operators.graph import kcore
+    el = [("a", "b"), ("b", "c")]
+    df = spark.createDataFrame(el, "src string, dst string")
+    assert kcore(df, 3).count() == 0
