@@ -1722,6 +1722,18 @@ def q_corpus_source_quota(spark, sf_dir):
     return source_quota(docs, 10)
 
 
+def q_corpus_mix_execute(spark, sf_dir):
+    # The mixture plan EXECUTED: per-stratum deterministic Bernoulli
+    # keep with the exact-integer cut alloc*2^32 DIV n_tokens
+    # (sqrt-temperature up-weighting; a stratum whose alloc exceeds
+    # supply keeps everything). Closes the plan → realized-sample loop
+    # begun by corpus_mix_plan; rates never exist as floats.
+    from rdf_rdfxml_spark.operators.sampling import mix_execute
+    docs = _docs(spark, sf_dir)
+    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    return mix_execute(docs, token_budget=100_000)
+
+
 def q_kg_kcore(spark, sf_dir):
     # k-core pruning (k=4) over a deterministic graph crafted to need a
     # REAL multi-round cascade: 5-cliques (in-clique degree 4, the
@@ -2382,6 +2394,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_ccnet_stats": q_corpus_ccnet_stats,
         # iterative k-core peeling with a chained-level oracle
         "kg_kcore": q_kg_kcore,
+        # the mixture plan executed as an exact-integer sample
+        "corpus_mix_execute": q_corpus_mix_execute,
     }
 
 
@@ -2970,4 +2984,7 @@ def _all_oracle_sql() -> dict[str, str]:
     from rdf_rdfxml_spark.operators.graph import kcore_oracle_sql
     oracles["kg_kcore"] = kcore_oracle_sql(KCORE_EDGES_SQL, 4,
                                            n_rounds=6)
+    from rdf_rdfxml_spark.operators.sampling import mix_execute_oracle_sql
+    oracles["corpus_mix_execute"] = mix_execute_oracle_sql(
+        token_budget=100_000)
     return oracles

@@ -193,6 +193,34 @@ def source_quota_oracle_sql(quota: int, *, stratum_col: str = "source",
     WHERE rn <= {quota}"""
 
 
+def mix_plan_ctes(*, stratum_col: str = "source",
+                  text_col: str = "text", alpha: str = "sqrt",
+                  token_budget: int = 1_000_000,
+                  table: str = "documents",
+                  out: str = "mix_plan") -> str:
+    """:func:`mix_plan` as a spliceable CTE chain ending in
+    ``{out}(stratum, n_docs, n_tokens, weight_ppm, alloc_tokens)`` —
+    used by :func:`mix_plan_oracle_sql` and composed into the
+    plan-execution oracle. Internal names carry the ``mp_`` prefix."""
+    assert alpha in ("sqrt", "linear"), alpha
+    ntok = (f"CAST(len(list_filter(string_split({text_col}, ' '), "
+            f"t -> t <> '')) AS BIGINT)")
+    w = ("CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000.0) AS BIGINT)"
+         if alpha == "sqrt" else "n_tokens")
+    return f"""mp_s AS (
+      SELECT {stratum_col} AS stratum,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM({ntok}) AS BIGINT) AS n_tokens
+      FROM {table} GROUP BY 1),
+    mp_w AS (SELECT *, {w} AS w FROM mp_s),
+    mp_t AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM mp_w),
+    {out} AS (
+      SELECT stratum, n_docs, n_tokens,
+             CAST((w * 1000000) // tot AS BIGINT) AS weight_ppm,
+             CAST(({token_budget} * w) // tot AS BIGINT) AS alloc_tokens
+      FROM mp_w, mp_t)"""
+
+
 def mix_plan_oracle_sql(*, stratum_col: str = "source",
                         text_col: str = "text", alpha: str = "sqrt",
                         token_budget: int = 1_000_000,
@@ -200,23 +228,85 @@ def mix_plan_oracle_sql(*, stratum_col: str = "source",
     """DuckDB twin of :func:`mix_plan` — identical IEEE sqrt + floor,
     then pure BIGINT arithmetic (``//`` floors like Spark's ``DIV`` on
     the non-negative weights; SUM widens to HUGEINT, cast back)."""
-    assert alpha in ("sqrt", "linear"), alpha
-    ntok = (f"CAST(len(list_filter(string_split({text_col}, ' '), "
-            f"t -> t <> '')) AS BIGINT)")
-    w = ("CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000.0) AS BIGINT)"
-         if alpha == "sqrt" else "n_tokens")
     return f"""
-    WITH s AS (
-      SELECT {stratum_col} AS stratum,
-             CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM({ntok}) AS BIGINT) AS n_tokens
-      FROM {table} GROUP BY 1),
-    w AS (SELECT *, {w} AS w FROM s),
-    t AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM w)
-    SELECT stratum, n_docs, n_tokens,
-           CAST((w * 1000000) // tot AS BIGINT) AS weight_ppm,
-           CAST(({token_budget} * w) // tot AS BIGINT) AS alloc_tokens
-    FROM w, t"""
+    WITH {mix_plan_ctes(stratum_col=stratum_col, text_col=text_col,
+                        alpha=alpha, token_budget=token_budget,
+                        table=table, out="mix_plan")}
+    SELECT stratum, n_docs, n_tokens, weight_ppm, alloc_tokens
+    FROM mix_plan"""
+
+
+def mix_execute(docs: DataFrame, *, stratum_col: str = "source",
+                text_col: str = "text", id_col: str = "doc_id",
+                alpha: str = "sqrt", token_budget: int = 1_000_000,
+                salt: str = "mix:v1") -> DataFrame:
+    """EXECUTE the temperature mixture plan: a deterministic Bernoulli
+    sample per stratum whose expected token mass equals the plan's
+    ``alloc_tokens``. Output one row per stratum: ``(stratum,
+    alloc_tokens, n_kept, kept_tokens)``, all BIGINT.
+
+    The keep rule is the exact-integer threshold
+    ``u32(salt, id) < cut`` with ``cut = alloc_tokens * 2^32 DIV
+    n_tokens`` (capped at 2^32 — an up-weighted stratum whose alloc
+    exceeds its supply keeps EVERYTHING; the surplus is an epoch
+    decision for the dataloader, not a sampling one). Rates never
+    exist as floats, so plan → execution is reproducible bit-for-bit
+    across engines and retries.
+
+    Scale shape: the plan aggregate is stratum-sized and broadcast
+    into the corpus scan; the scan itself is one narrow
+    projection+filter followed by a partial-agg rollup — no extra
+    corpus shuffle beyond :func:`mix_plan`'s own aggregate."""
+    plan = mix_plan(docs, stratum_col=stratum_col, text_col=text_col,
+                    alpha=alpha, token_budget=token_budget)
+    cut = (plan.select(
+        "stratum", "alloc_tokens",
+        F.expr(f"least(CAST({U32} AS BIGINT), "
+               f"(alloc_tokens * CAST({U32} AS BIGINT)) DIV n_tokens)")
+        .alias("cut")))
+    ntok = F.expr(_NTOK.format(text_col=text_col))
+    kept = (docs
+            .select(F.col(stratum_col).alias("stratum"),
+                    F.expr(_u32_expr(salt, id_col)).alias("_u"),
+                    ntok.alias("_nt"))
+            .join(F.broadcast(cut), "stratum")
+            .filter(F.col("_u") < F.col("cut")))
+    return (kept.groupBy("stratum", "alloc_tokens")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("_nt").alias("kept_tokens"))
+            .select("stratum", "alloc_tokens", "n_kept", "kept_tokens"))
+
+
+def mix_execute_oracle_sql(*, stratum_col: str = "source",
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           alpha: str = "sqrt",
+                           token_budget: int = 1_000_000,
+                           salt: str = "mix:v1",
+                           table: str = "documents") -> str:
+    """DuckDB twin of :func:`mix_execute` — splices the plan CTEs and
+    replays the integer threshold keep rule."""
+    ntok = (f"CAST(len(list_filter(string_split(d.{text_col}, ' '), "
+            f"t -> t <> '')) AS BIGINT)")
+    u = (f"CAST(('0x' || substring(md5('{salt}' || ':' || "
+         f"CAST(d.{id_col} AS STRING)), 1, 8))::VARCHAR::UBIGINT "
+         f"AS BIGINT)")
+    return f"""
+    WITH {mix_plan_ctes(stratum_col=stratum_col, text_col=text_col,
+                        alpha=alpha, token_budget=token_budget,
+                        table=table, out="mix_plan")},
+    mx_cut AS (
+      SELECT stratum, alloc_tokens,
+             least(CAST({U32} AS BIGINT),
+                   (alloc_tokens * CAST({U32} AS BIGINT)) // n_tokens)
+               AS cut
+      FROM mix_plan)
+    SELECT c.stratum, c.alloc_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM({ntok}) AS BIGINT) AS kept_tokens
+    FROM {table} d JOIN mx_cut c ON d.{stratum_col} = c.stratum
+    WHERE {u} < c.cut
+    GROUP BY c.stratum, c.alloc_tokens"""
 
 
 def sample_oracle_sql(rates: dict, *, stratum_col: str = "source",

@@ -74,3 +74,28 @@ def test_source_quota_caps_and_keeps_small_strata(spark):
         assert per[s] == 3  # under quota: every doc kept
     ranks = [r["rank"] for r in source_quota(docs, 5).collect()]
     assert min(ranks) == 1 and max(ranks) == 5
+
+
+def test_mix_execute_hits_allocation_and_caps(spark):
+    from rdf_rdfxml_spark.operators.sampling import mix_execute
+    # big stratum down-sampled, tiny stratum up-weighted past supply
+    rows = [(i, "big", "tok " * 50) for i in range(2000)]
+    rows += [(10_000 + i, "tiny", "tok " * 50) for i in range(5)]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, source string, text string")
+    got = {r["stratum"]: r
+           for r in mix_execute(docs, token_budget=20_000).collect()}
+    # tiny: alloc exceeds its 250-token supply → cut caps at 2^32,
+    # EVERYTHING kept
+    assert got["tiny"]["n_kept"] == 5
+    assert got["tiny"]["kept_tokens"] == 250
+    assert got["tiny"]["alloc_tokens"] > 250
+    # big: realized token mass within 4σ of the allocation
+    # (Bernoulli on 2000 docs; σ/alloc ≈ 1/√n_kept ≈ 2-3%)
+    big = got["big"]
+    assert abs(big["kept_tokens"] - big["alloc_tokens"]) \
+        < 0.15 * big["alloc_tokens"]
+    # determinism
+    again = {r["stratum"]: r["kept_tokens"]
+             for r in mix_execute(docs, token_budget=20_000).collect()}
+    assert again["big"] == big["kept_tokens"]
