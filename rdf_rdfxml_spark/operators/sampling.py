@@ -259,7 +259,10 @@ def mix_execute(docs: DataFrame, *, stratum_col: str = "source",
     corpus shuffle beyond :func:`mix_plan`'s own aggregate."""
     plan = mix_plan(docs, stratum_col=stratum_col, text_col=text_col,
                     alpha=alpha, token_budget=token_budget)
-    cut = (plan.select(
+    # n_tokens = 0 (a stratum of empty texts) would be a DIV-by-zero
+    # dialect seam (Spark DIV → NULL, DuckDB // → error); such a
+    # stratum has nothing to allocate — keep nothing, explicitly.
+    cut = (plan.filter(F.col("n_tokens") > 0).select(
         "stratum", "alloc_tokens",
         F.expr(f"least(CAST({U32} AS BIGINT), "
                f"(alloc_tokens * CAST({U32} AS BIGINT)) DIV n_tokens)")
@@ -300,7 +303,7 @@ def mix_execute_oracle_sql(*, stratum_col: str = "source",
              least(CAST({U32} AS BIGINT),
                    (alloc_tokens * CAST({U32} AS BIGINT)) // n_tokens)
                AS cut
-      FROM mix_plan)
+      FROM mix_plan WHERE n_tokens > 0)
     SELECT c.stratum, c.alloc_tokens,
            CAST(COUNT(*) AS BIGINT) AS n_kept,
            CAST(SUM({ntok}) AS BIGINT) AS kept_tokens

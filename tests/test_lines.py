@@ -99,3 +99,13 @@ def test_mix_execute_hits_allocation_and_caps(spark):
     again = {r["stratum"]: r["kept_tokens"]
              for r in mix_execute(docs, token_budget=20_000).collect()}
     assert again["big"] == big["kept_tokens"]
+
+
+def test_mix_execute_zero_token_stratum_keeps_nothing(spark):
+    from rdf_rdfxml_spark.operators.sampling import mix_execute
+    rows = [(1, "full", "a b c"), (2, "empty", ""), (3, "empty", " ")]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, source string, text string")
+    got = {r["stratum"] for r in
+           mix_execute(docs, token_budget=100).collect()}
+    assert got == {"full"}  # no DIV-by-zero row, no NULL cut
