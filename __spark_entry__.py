@@ -1722,6 +1722,32 @@ def q_corpus_source_quota(spark, sf_dir):
     return source_quota(docs, 10)
 
 
+def q_corpus_token_quantiles(spark, sf_dir):
+    # Exact percentile cuts of per-doc token counts via the
+    # bounded-universe histogram sketch (operators/quantiles.py):
+    # partial-agg value histogram (mergeable — union = add counts),
+    # universe-sized cumulative window, integer cross-multiplied
+    # inverse-CDF rule — no floats, no approximation.
+    from rdf_rdfxml_spark.operators.quantiles import exact_quantiles
+    docs = _docs(spark, sf_dir)
+    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    return exact_quantiles(
+        docs, "size(filter(split(text, ' '), t -> t <> ''))")
+
+
+def q_kg_bfs(spark, sf_dir):
+    # Single-source BFS depths over a binary tree on doc ids
+    # (parent = doc_id DIV 2, root n0 — depth of n_k is exactly
+    # bit_length(k), ~9 frontier rounds at sf0.01): the traversal
+    # primitive, frontier-join + anti-join per round, chained-level
+    # oracle with a loud completeness guard.
+    from rdf_rdfxml_spark.operators.graph import bfs_depths
+    d = _docs(spark, sf_dir).select("doc_id").filter("doc_id >= 1")
+    edges = d.selectExpr("concat('n', doc_id DIV 2) AS src",
+                         "concat('n', doc_id) AS dst")
+    return bfs_depths(edges, "n0")
+
+
 def q_corpus_mix_execute(spark, sf_dir):
     # The mixture plan EXECUTED: per-stratum deterministic Bernoulli
     # keep with the exact-integer cut alloc*2^32 DIV n_tokens
@@ -2396,6 +2422,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": q_kg_kcore,
         # the mixture plan executed as an exact-integer sample
         "corpus_mix_execute": q_corpus_mix_execute,
+        # exact histogram-sketch quantiles + single-source BFS
+        "corpus_token_quantiles": q_corpus_token_quantiles,
+        "kg_bfs": q_kg_bfs,
     }
 
 
@@ -2987,4 +3016,14 @@ def _all_oracle_sql() -> dict[str, str]:
     from rdf_rdfxml_spark.operators.sampling import mix_execute_oracle_sql
     oracles["corpus_mix_execute"] = mix_execute_oracle_sql(
         token_budget=100_000)
+    from rdf_rdfxml_spark.operators.quantiles import (
+        exact_quantiles_oracle_sql,
+    )
+    oracles["corpus_token_quantiles"] = exact_quantiles_oracle_sql(
+        "len(list_filter(string_split(text, ' '), t -> t <> ''))")
+    from rdf_rdfxml_spark.operators.graph import bfs_depths_oracle_sql
+    oracles["kg_bfs"] = bfs_depths_oracle_sql("""
+      SELECT 'n' || CAST(doc_id // 2 AS VARCHAR) AS src,
+             'n' || CAST(doc_id AS VARCHAR) AS dst
+      FROM documents WHERE doc_id >= 1""", "n0", n_rounds=12)
     return oracles

@@ -458,3 +458,85 @@ def kcore_oracle_sql(edges_sql: str, k: int, *, n_rounds: int = 6) -> str:
           UNION ALL SELECT b FROM e{n_rounds}), _fix
     WHERE _fix.ok = 1
     GROUP BY node"""
+
+
+def bfs_depths(edges: DataFrame, source: str, *,
+               max_depth: int = 64) -> DataFrame:
+    """Single-source BFS over an undirected graph given as (src, dst)
+    rows: ``(node, depth)`` for every node reachable from ``source``
+    (depth BIGINT, source itself at 0) — the traversal primitive
+    behind hop-bounded neighborhoods, reachability audits, and
+    harmonic-centrality style statistics.
+
+    Frontier expansion: each round joins the CURRENT frontier against
+    the (persisted) adjacency, anti-joins away already-visited nodes,
+    and stamps the round number — narrow (node) rows only, one COUNT
+    scalar per round, ``localCheckpoint`` on the accumulated visited
+    set to bound lineage (the iterative-stage rule). Rounds =
+    eccentricity of the source, structure-bound like :func:`kcore`'s
+    peel depth; ``max_depth`` is the loud backstop.
+
+    Dedup/cleanup contract matches the other graph ops: self-loops
+    dropped, parallel/bidirectional duplicates collapse.
+    """
+    adj = (edges.selectExpr("least(src, dst) AS a",
+                            "greatest(src, dst) AS b")
+           .filter("a <> b").distinct())
+    adj = (adj.selectExpr("a AS u", "b AS w")
+           .unionAll(adj.selectExpr("b AS u", "a AS w"))).persist()
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(source, 0)], "node string, "
+                                                   "depth long")
+    frontier = visited.select("node")
+    for r in range(1, max_depth + 1):
+        nxt = (adj.join(frontier.selectExpr("node AS u"), "u",
+                        "left_semi")
+               .selectExpr("w AS node").distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("depth", F.lit(r).cast("long")))
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    adj.unpersist()
+    return visited
+
+
+def bfs_depths_oracle_sql(edges_sql: str, source: str, *,
+                          n_rounds: int = 12) -> str:
+    """DuckDB twin of :func:`bfs_depths` — the frontier expansion
+    replayed as ``n_rounds`` chained MATERIALIZED levels with a loud
+    ``error()`` guard proving round ``n_rounds`` discovered nothing
+    (i.e. the traversal is complete — under-exploring is impossible,
+    the oracle refuses instead)."""
+    assert n_rounds >= 2
+    parts = [f"""raw_edges AS ({edges_sql}),
+    adj AS MATERIALIZED (
+      SELECT a AS u, b AS w FROM (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM raw_edges WHERE src <> dst)
+      UNION ALL
+      SELECT b, a FROM (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM raw_edges WHERE src <> dst)),
+    v0 AS MATERIALIZED (SELECT '{source}' AS node,
+                               CAST(0 AS BIGINT) AS depth)"""]
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""v{r} AS MATERIALIZED (
+      SELECT * FROM v{r - 1}
+      UNION ALL
+      SELECT w AS node, CAST({r} AS BIGINT) AS depth FROM (
+        SELECT DISTINCT adj.w FROM adj
+        SEMI JOIN v{r - 1} f ON adj.u = f.node
+                            AND f.depth = {r - 1}
+        ANTI JOIN v{r - 1} s ON adj.w = s.node))""")
+    parts.append(f"""_done AS (
+      SELECT CASE WHEN (SELECT COUNT(*) FROM v{n_rounds})
+                    <> (SELECT COUNT(*) FROM v{n_rounds - 1})
+             THEN error('bfs oracle: frontier alive after {n_rounds} '
+                        'rounds — raise n_rounds')
+             ELSE 1 END AS ok)""")
+    return f"""
+    WITH {','.join(parts)}
+    SELECT node, depth FROM v{n_rounds}, _done WHERE _done.ok = 1"""

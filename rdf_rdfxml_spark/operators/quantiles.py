@@ -1,0 +1,90 @@
+"""Exact mergeable quantiles for bounded-universe integer metrics.
+
+Corpus curation constantly needs distribution cuts — "drop the top 1%
+longest docs", "where is the median token count per source" — and the
+float sketches (t-digest, KLL) carry approximation AND a libm seam.
+For the metrics a text pipeline actually cuts on (char lengths, token
+counts, scores in ppm — bounded-universe INTEGERS), the exact answer
+is cheap at any corpus size: the value histogram ``groupBy(v).count()``
+partial-aggregates to at most |universe| rows per map task, the only
+exchange is universe-sized, and the histogram is trivially MERGEABLE
+(union = add counts) — it IS the sketch, with zero error.
+
+Quantile rule (integer-exact, engine-portable): for q in percent,
+``value(q) = min{ v : cum(v) * 100 >= q * n }`` — the inverse-CDF /
+"type-1" definition via cross-multiplication, no division or floats
+anywhere. The cumulative window runs over the AGGREGATED histogram
+(universe-sized, one tiny task — the mix_plan stratum-window
+argument), never the corpus.
+
+Reference parity note: ruby-rdf/rdf-rdfxml has no statistics surface;
+this exists for the brief's training-data pipeline operators.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_QS = (1, 5, 25, 50, 75, 95, 99)
+
+
+def value_histogram(df: DataFrame, value_expr: str) -> DataFrame:
+    """``(v, cnt)`` — the exact histogram of an integer expression.
+    Rows with NULL ``v`` are excluded (no metric, no mass)."""
+    return (df.select(F.expr(value_expr).cast("long").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .groupBy("v").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def exact_quantiles(df: DataFrame, value_expr: str, *,
+                    qs: Sequence[int] = DEFAULT_QS) -> DataFrame:
+    """Exact percentile cuts of an integer metric: one row per q —
+    ``(q, value, n)``, all BIGINT, where ``value`` is the smallest v
+    whose cumulative count reaches ``q`` percent of the ``n`` non-null
+    rows (min{v : cum*100 >= q*n})."""
+    assert qs and all(1 <= q <= 100 for q in qs)
+    spark = df.sparkSession
+    hist = value_histogram(df, value_expr)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy(F.lit(1)).orderBy(F.lit(1)) \
+        .rowsBetween(Window.unboundedPreceding,
+                     Window.unboundedFollowing)
+    cum = (hist.withColumn("cum", F.sum("cnt").over(w))
+           .withColumn("n", F.sum("cnt").over(wn)))
+    qdf = spark.createDataFrame([(q,) for q in qs], "q long")
+    return (cum.crossJoin(F.broadcast(qdf))
+            .filter(F.col("cum") * 100 >= F.col("q") * F.col("n"))
+            .groupBy("q")
+            .agg(F.min("v").alias("value"), F.min("n").alias("n"))
+            .select("q", "value", "n"))
+
+
+def exact_quantiles_oracle_sql(value_sql: str, *,
+                               qs: Sequence[int] = DEFAULT_QS,
+                               table: str = "documents") -> str:
+    """DuckDB twin of :func:`exact_quantiles` over ``value_sql`` (an
+    integer expression in ``{table}``'s scope) — same histogram,
+    cumulative cross-multiplication, and min-v rule."""
+    qvals = ", ".join(f"({q})" for q in qs)
+    return f"""
+    WITH qh AS (
+      SELECT CAST(({value_sql}) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM {table} WHERE ({value_sql}) IS NOT NULL GROUP BY 1),
+    qc AS (
+      SELECT v, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n
+      FROM qh),
+    qq(q) AS (VALUES {qvals})
+    SELECT CAST(qq.q AS BIGINT) AS q,
+           CAST(MIN(qc.v) AS BIGINT) AS value,
+           CAST(MIN(qc.n) AS BIGINT) AS n
+    FROM qc CROSS JOIN qq
+    WHERE qc.cum * 100 >= qq.q * qc.n
+    GROUP BY qq.q"""

@@ -63,3 +63,64 @@ def test_sketches_are_deterministic(spark):
     d = _docs(spark, n=50)
     assert kmv_distinct(d).collect() == kmv_distinct(d).collect()
     assert hll_distinct(d).collect() == hll_distinct(d).collect()
+
+
+# --- exact histogram quantiles -------------------------------------------
+
+def _ref_quantiles(values, qs):
+    s = sorted(values)
+    n = len(s)
+    # min v with cum*100 >= q*n  ==  s[ceil(q*n/100) - 1]
+    return {q: s[-(-q * n // 100) - 1] for q in qs}
+
+
+def test_exact_quantiles_vs_sorted_list(spark):
+    from rdf_rdfxml_spark.operators.quantiles import exact_quantiles
+    vals = [((i * 37) % 100) for i in range(500)] + [7] * 200 + [0] * 50
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    qs = (1, 5, 25, 50, 75, 95, 99, 100)
+    got = {r["q"]: r["value"]
+           for r in exact_quantiles(df, "x", qs=qs).collect()}
+    assert got == _ref_quantiles(vals, qs)
+
+
+def test_exact_quantiles_skips_nulls(spark):
+    from rdf_rdfxml_spark.operators.quantiles import exact_quantiles
+    df = spark.createDataFrame([(1,), (None,), (3,), (None,)], "x long")
+    got = {r["q"]: (r["value"], r["n"])
+           for r in exact_quantiles(df, "x", qs=(50, 100)).collect()}
+    assert got == {50: (1, 2), 100: (3, 2)}
+
+
+# --- BFS depths ----------------------------------------------------------
+
+def test_bfs_depths_vs_brute_force(spark):
+    from collections import deque
+    from rdf_rdfxml_spark.operators.graph import bfs_depths
+    el = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+          ("x", "y"),                 # unreachable island
+          ("b", "a"), ("a", "a")]     # duplicate + self-loop
+    adj = {}
+    for s, t in el:
+        if s != t:
+            adj.setdefault(s, set()).add(t)
+            adj.setdefault(t, set()).add(s)
+    ref, dq = {"a": 0}, deque(["a"])
+    while dq:
+        u = dq.popleft()
+        for w in sorted(adj.get(u, ())):
+            if w not in ref:
+                ref[w] = ref[u] + 1
+                dq.append(w)
+    df = spark.createDataFrame(el, "src string, dst string")
+    got = {r["node"]: r["depth"] for r in bfs_depths(df, "a").collect()}
+    assert got == ref
+    assert "x" not in got and "y" not in got
+
+
+def test_bfs_tree_depth_is_bit_length(spark):
+    from rdf_rdfxml_spark.operators.graph import bfs_depths
+    el = [(f"n{i // 2}", f"n{i}") for i in range(1, 64)]
+    df = spark.createDataFrame(el, "src string, dst string")
+    got = {r["node"]: r["depth"] for r in bfs_depths(df, "n0").collect()}
+    assert got == {f"n{i}": i.bit_length() for i in range(64)}
