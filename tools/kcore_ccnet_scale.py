@@ -73,9 +73,10 @@ def main():
 
     from bench import _mk_session
     from corpus_ops_scale import _corpus
-    from rdf_rdfxml_spark.operators.graph import kcore
+    from rdf_rdfxml_spark.operators.graph import bfs_depths, kcore
     from rdf_rdfxml_spark.operators.lines import line_dedup
     from rdf_rdfxml_spark.operators.lm import bigram_lm_scores
+    from rdf_rdfxml_spark.operators.quantiles import exact_quantiles
 
     spark = _mk_session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -139,11 +140,42 @@ def main():
                               "clean_chars": int(r["result"][0][1]),
                               "wall_sec": r["wall_sec"],
                               "samples": r["samples"]}
+
+        r = _timed(lambda: exact_quantiles(
+            docs, "size(filter(split(text, ' '), t -> t <> ''))")
+            .agg(F.sum("value"), F.min("n")).collect())
+        leg["token_quantiles"] = {
+            "value_sum": int(r["result"][0][0]),
+            "n": int(r["result"][0][1]),
+            "wall_sec": r["wall_sec"], "samples": r["samples"]}
+
+        # BFS over per-copy binary trees on the LOCAL doc index
+        # (copy = id DIV 1e9, local = id % 1e9 — DIV 2 on the raw
+        # offset ids would leave every copy's tree unrooted), all
+        # copies joined to one root R: constant depth ~10 at every
+        # scale, frontier width grows with the corpus
+        tree = d.filter("doc_id % 1000000000 >= 1").selectExpr(
+            "concat('c', doc_id DIV 1000000000, '_', "
+            "(doc_id % 1000000000) DIV 2) AS src",
+            "concat('c', doc_id DIV 1000000000, '_', "
+            "doc_id % 1000000000) AS dst")
+        roots = (d.filter("doc_id % 1000000000 = 0")
+                 .selectExpr("'R' AS src",
+                             "concat('c', doc_id DIV 1000000000, "
+                             "'_0') AS dst"))
+        bfs_edges = tree.unionByName(roots)
+        r = _timed(lambda: bfs_depths(bfs_edges, "R")
+                   .agg(F.count(F.lit(1)), F.max("depth")).collect())
+        leg["bfs_depths"] = {"n_reached": int(r["result"][0][0]),
+                             "max_depth": int(r["result"][0][1]),
+                             "wall_sec": r["wall_sec"],
+                             "samples": r["samples"]}
         legs[f"{scale}x"] = leg
         docs.unpersist()
 
     ratio = hi // lo
-    for op in ("kcore", "kcore_hub", "ccnet_stats"):
+    for op in ("kcore", "kcore_hub", "ccnet_stats", "token_quantiles",
+               "bfs_depths"):
         w1 = legs[f"{lo}x"][op]["wall_sec"]
         w10 = legs[f"{hi}x"][op]["wall_sec"]
         legs[f"wall_ratio_{op}"] = round(w10 / w1, 2)
