@@ -1735,6 +1735,18 @@ def q_corpus_token_quantiles(spark, sf_dir):
         docs, "size(filter(split(text, ' '), t -> t <> ''))")
 
 
+def q_corpus_source_quantiles(spark, sf_dir):
+    # The per-domain form of the histogram quantiles — "the p95 token
+    # cut PER SOURCE": per-stratum histograms and keyed windows, no
+    # SinglePartition anywhere.
+    from rdf_rdfxml_spark.operators.quantiles import grouped_quantiles
+    docs = _docs(spark, sf_dir)
+    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    return grouped_quantiles(
+        docs, "size(filter(split(text, ' '), t -> t <> ''))",
+        qs=(25, 50, 95))
+
+
 def q_kg_bfs(spark, sf_dir):
     # Single-source BFS depths over a binary tree on doc ids
     # (parent = doc_id DIV 2, root n0 — depth of n_k is exactly
@@ -2424,6 +2436,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix_execute": q_corpus_mix_execute,
         # exact histogram-sketch quantiles + single-source BFS
         "corpus_token_quantiles": q_corpus_token_quantiles,
+        "corpus_source_quantiles": q_corpus_source_quantiles,
         "kg_bfs": q_kg_bfs,
     }
 
@@ -3021,6 +3034,12 @@ def _all_oracle_sql() -> dict[str, str]:
     )
     oracles["corpus_token_quantiles"] = exact_quantiles_oracle_sql(
         "len(list_filter(string_split(text, ' '), t -> t <> ''))")
+    from rdf_rdfxml_spark.operators.quantiles import (
+        grouped_quantiles_oracle_sql,
+    )
+    oracles["corpus_source_quantiles"] = grouped_quantiles_oracle_sql(
+        "len(list_filter(string_split(text, ' '), t -> t <> ''))",
+        qs=(25, 50, 95))
     from rdf_rdfxml_spark.operators.graph import bfs_depths_oracle_sql
     oracles["kg_bfs"] = bfs_depths_oracle_sql("""
       SELECT 'n' || CAST(doc_id // 2 AS VARCHAR) AS src,

@@ -62,6 +62,66 @@ def exact_quantiles(df: DataFrame, value_expr: str, *,
             .select("q", "value", "n"))
 
 
+def grouped_quantiles(df: DataFrame, value_expr: str, *,
+                      stratum_col: str = "source",
+                      qs: Sequence[int] = DEFAULT_QS) -> DataFrame:
+    """Per-stratum exact percentile cuts — the curation form ("the p95
+    length cut PER DOMAIN"): ``(stratum, q, value, n)``, all rules as
+    :func:`exact_quantiles` but with the histogram, cumulative window,
+    and counts partitioned by ``stratum_col``. The windows run over
+    per-stratum histograms (|universe| rows each, keyed exchange — no
+    SinglePartition anywhere), so a hot domain costs its universe
+    size, not its row count."""
+    assert qs and all(1 <= q <= 100 for q in qs)
+    spark = df.sparkSession
+    hist = (df.select(F.col(stratum_col).alias("stratum"),
+                      F.expr(value_expr).cast("long").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .groupBy("stratum", "v").agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("stratum").orderBy("v") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy("stratum") \
+        .rowsBetween(Window.unboundedPreceding,
+                     Window.unboundedFollowing)
+    cum = (hist.withColumn("cum", F.sum("cnt").over(w))
+           .withColumn("n", F.sum("cnt").over(wn)))
+    qdf = spark.createDataFrame([(q,) for q in qs], "q long")
+    return (cum.crossJoin(F.broadcast(qdf))
+            .filter(F.col("cum") * 100 >= F.col("q") * F.col("n"))
+            .groupBy("stratum", "q")
+            .agg(F.min("v").alias("value"), F.min("n").alias("n"))
+            .select("stratum", "q", "value", "n"))
+
+
+def grouped_quantiles_oracle_sql(value_sql: str, *,
+                                 stratum_col: str = "source",
+                                 qs: Sequence[int] = DEFAULT_QS,
+                                 table: str = "documents") -> str:
+    """DuckDB twin of :func:`grouped_quantiles`."""
+    qvals = ", ".join(f"({q})" for q in qs)
+    return f"""
+    WITH qh AS (
+      SELECT {stratum_col} AS stratum,
+             CAST(({value_sql}) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM {table} WHERE ({value_sql}) IS NOT NULL GROUP BY 1, 2),
+    qc AS (
+      SELECT stratum, v, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY stratum ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY stratum)
+                  AS BIGINT) AS n
+      FROM qh),
+    qq(q) AS (VALUES {qvals})
+    SELECT qc.stratum, CAST(qq.q AS BIGINT) AS q,
+           CAST(MIN(qc.v) AS BIGINT) AS value,
+           CAST(MIN(qc.n) AS BIGINT) AS n
+    FROM qc CROSS JOIN qq
+    WHERE qc.cum * 100 >= qq.q * qc.n
+    GROUP BY qc.stratum, qq.q"""
+
+
 def exact_quantiles_oracle_sql(value_sql: str, *,
                                qs: Sequence[int] = DEFAULT_QS,
                                table: str = "documents") -> str:

@@ -124,3 +124,18 @@ def test_bfs_tree_depth_is_bit_length(spark):
     df = spark.createDataFrame(el, "src string, dst string")
     got = {r["node"]: r["depth"] for r in bfs_depths(df, "n0").collect()}
     assert got == {f"n{i}": i.bit_length() for i in range(64)}
+
+
+def test_grouped_quantiles_match_per_group_rule(spark):
+    from rdf_rdfxml_spark.operators.quantiles import grouped_quantiles
+    rows = [("a", (i * 13) % 50) for i in range(300)]
+    rows += [("b", i % 7) for i in range(40)]
+    df = spark.createDataFrame(rows, "source string, x long")
+    qs = (25, 50, 95)
+    got = {(r["stratum"], r["q"]): r["value"]
+           for r in grouped_quantiles(df, "x", qs=qs).collect()}
+    for s in ("a", "b"):
+        vals = [x for g, x in rows if g == s]
+        ref = _ref_quantiles(vals, qs)
+        for q in qs:
+            assert got[(s, q)] == ref[q], (s, q)
