@@ -575,17 +575,171 @@ def split_mjpeg_frames(payload: bytes) -> list[bytes]:
     return frames
 
 
+#: Fixed-point BT.601 full-range RGB<->YUV for the Y4M container —
+#: integer math so both engines (and the oracle's SQL-generation-time
+#: replay through this same module) agree bit-for-bit.
+def _rgb_to_yuv(img: np.ndarray) -> tuple:
+    r = img[:, :, 0].astype(np.int32)
+    g = img[:, :, 1].astype(np.int32)
+    b = img[:, :, 2].astype(np.int32)
+    y = (77 * r + 150 * g + 29 * b + 128) >> 8
+    u = ((b - y) * 144 + 128 >> 8) + 128
+    v = ((r - y) * 183 + 128 >> 8) + 128
+    return (np.clip(y, 0, 255).astype(np.uint8),
+            np.clip(u, 0, 255).astype(np.uint8),
+            np.clip(v, 0, 255).astype(np.uint8))
+
+
+def _yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    yy = y.astype(np.int32)
+    uu = u.astype(np.int32) - 128
+    vv = v.astype(np.int32) - 128
+    r = yy + ((vv * 358 + 128) >> 8)
+    g = yy - ((uu * 88 + vv * 183 + 128) >> 8)
+    b = yy + ((uu * 454 + 128) >> 8)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def split_ivf_frames(payload: bytes) -> list:
+    """IVF ('DKIF') VP8 demux → per-frame PPM stills through the real
+    VP8 KEY-frame decoder (operators/vp8.py). IVF is libvpx's standard
+    raw-VP8 container: a 32-byte file header (magic, version, header
+    size, FourCC, dims, timebase, frame count) then
+    ``[u32 size | u64 pts | frame payload]`` records. An inter-coded
+    frame (frame-tag type bit set) raises — inter prediction is the
+    declared codec seam, surfaced loudly rather than mis-decoded."""
+    import struct
+    if payload[:4] != b"DKIF":
+        raise DecodeError("not an IVF stream")
+    if len(payload) < 32:
+        raise DecodeError("truncated IVF header")
+    _ver, hdr_size = struct.unpack_from("<HH", payload, 4)
+    fourcc = payload[8:12]
+    if fourcc != b"VP80":
+        raise DecodeError(f"IVF codec {fourcc!r} unsupported (VP80 only)")
+    if hdr_size < 32:
+        raise DecodeError(f"bad IVF header size {hdr_size}")
+    from .vp8 import decode_vp8
+    pos, frames = hdr_size, []
+    while pos < len(payload):
+        if pos + 12 > len(payload):
+            raise DecodeError("truncated IVF frame header")
+        (size,) = struct.unpack_from("<I", payload, pos)
+        pos += 12
+        if pos + size > len(payload):
+            raise DecodeError("truncated IVF frame payload")
+        data = payload[pos:pos + size]
+        pos += size
+        if not data:
+            raise DecodeError("empty IVF frame")
+        if data[0] & 0x01:
+            raise DecodeError(
+                "inter-coded VP8 frame in IVF — the declared seam")
+        frames.append(encode_ppm(decode_vp8(data)))
+    if not frames:
+        raise DecodeError("empty IVF stream")
+    return frames
+
+
+def encode_ivf(imgs: list, *, qi: int = 12, rate: int = 30) -> bytes:
+    """RGB frame list → IVF/VP8 stream (each frame an intra key frame
+    via the real encoder; pts = frame index)."""
+    import struct
+    from .vp8 import encode_vp8
+    assert imgs
+    h, w = imgs[0].shape[:2]
+    parts = [b"DKIF" + struct.pack("<HH", 0, 32) + b"VP80"
+             + struct.pack("<HHIIII", w, h, rate, 1, len(imgs), 0)]
+    for i, img in enumerate(imgs):
+        data = encode_vp8(img, qi=qi)
+        parts.append(struct.pack("<IQ", len(data), i) + data)
+    return b"".join(parts)
+
+
+def split_y4m_frames(payload: bytes) -> list:
+    """YUV4MPEG2 (Y4M) demux → per-frame PPM stills. Supports the C444
+    and C420/C420jpeg colourspaces (4:2:0 chroma upsampled by pixel
+    replication — the decimation inverse :func:`encode_y4m` applies);
+    other parameters (frame rate, interlace, aspect) are parsed past,
+    per the mjpegtools format: one ``YUV4MPEG2 <params>\\n`` stream
+    header, then ``FRAME[ params]\\n`` + planar YUV per frame."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise DecodeError("not a YUV4MPEG2 stream")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise DecodeError("truncated Y4M stream header")
+    w = h = 0
+    cs = b"420jpeg"
+    for p in payload[9:nl].split(b" "):
+        if p[:1] == b"W":
+            w = int(p[1:])
+        elif p[:1] == b"H":
+            h = int(p[1:])
+        elif p[:1] == b"C":
+            cs = p[1:]
+    if w <= 0 or h <= 0:
+        raise DecodeError("Y4M header missing W/H")
+    if cs not in (b"444", b"420", b"420jpeg", b"420mpeg2"):
+        raise DecodeError(f"Y4M colourspace {cs!r} unsupported")
+    sub = cs != b"444"
+    ysz = w * h
+    cw, ch = ((w + 1) // 2, (h + 1) // 2) if sub else (w, h)
+    csz = cw * ch
+    pos, frames = nl + 1, []
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos:pos + 5] != b"FRAME":
+            raise DecodeError(f"Y4M FRAME marker expected at byte {pos}")
+        pos = fnl + 1
+        if pos + ysz + 2 * csz > len(payload):
+            raise DecodeError("truncated Y4M frame")
+        y = np.frombuffer(payload, np.uint8, ysz, pos).reshape(h, w)
+        u = np.frombuffer(payload, np.uint8, csz, pos + ysz) \
+            .reshape(ch, cw)
+        v = np.frombuffer(payload, np.uint8, csz, pos + ysz + csz) \
+            .reshape(ch, cw)
+        pos += ysz + 2 * csz
+        if sub:
+            u = u.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+            v = v.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+        frames.append(encode_ppm(_yuv_to_rgb(y, u, v)))
+    if not frames:
+        raise DecodeError("empty Y4M stream")
+    return frames
+
+
+def encode_y4m(imgs: list, *, chroma: str = "420jpeg") -> bytes:
+    """RGB frame list → Y4M stream (C444 exact planes or C420 by
+    top-left decimation, the replication-upsample inverse)."""
+    assert imgs and chroma in ("444", "420jpeg")
+    h, w = imgs[0].shape[:2]
+    parts = [b"YUV4MPEG2 W%d H%d F30:1 Ip A1:1 C%s\n"
+             % (w, h, chroma.encode())]
+    for img in imgs:
+        y, u, v = _rgb_to_yuv(img)
+        if chroma != "444":
+            u, v = u[::2, ::2], v[::2, ::2]
+        parts.append(b"FRAME\n" + y.tobytes() + u.tobytes() + v.tobytes())
+    return b"".join(parts)
+
+
 def split_video_frames(payload: bytes) -> list[bytes]:
     """Container dispatch for frame splitting: PPM-sequence, raw MJPEG
-    (every frame a baseline JPEG), or ANIMATED WEBP (round 6 — frames
+    (every frame a baseline JPEG), ANIMATED WEBP (round 6 — frames
     composited by webp.decode_webp_anim onto the canvas, honoring
     offsets/dispose, then re-encoded as PPM so each emitted frame is a
-    standalone decodable still; inter-coded video stays the seam)."""
+    standalone decodable still), IVF/VP8 (round 7 — key frames through
+    the real VP8 decoder; inter frames raise, the declared seam), or
+    YUV4MPEG2 (round 7 — raw planar YUV, C444/C420)."""
     if payload[:2] == b"\xff\xd8":
         return split_mjpeg_frames(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from .webp import decode_webp_anim
         return [encode_ppm(f) for f in decode_webp_anim(payload)]
+    if payload[:4] == b"DKIF":
+        return split_ivf_frames(payload)
+    if payload[:9] == b"YUV4MPEG2":
+        return split_y4m_frames(payload)
     return split_ppm_frames(payload)
 
 
@@ -628,7 +782,8 @@ def synth_video_item(i: int, frames: int = 12) -> tuple:
     Containers rotate PPM-sequence / baseline MJPEG / progressive-4:2:0
     MJPEG with restart intervals / ANIMATED WEBP (round 6: VP8L frames
     with per-frame offsets + dispose, composited by the real ANMF
-    decoder inside the frame-sampling path); shared by
+    decoder inside the frame-sampling path) / IVF with lossy VP8 key
+    frames (round 7) / YUV4MPEG2 C420 (round 7); shared by
     :func:`synth_video` and the driver oracle builder."""
     imgs = []
     for f in range(frames):
@@ -636,7 +791,7 @@ def synth_video_item(i: int, frames: int = 12) -> tuple:
             hashlib.sha256(f"video:{i}:{f}".encode()).digest()[:4], "big")
         rng = np.random.default_rng(seed)
         imgs.append(rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8))
-    if i % 4 == 3:
+    if i % 6 == 3:
         from .webp import encode_webp_anim
         # frame 0 fills the canvas; later frames are 4x4 patches at
         # alternating offsets, every third disposed to background
@@ -647,18 +802,23 @@ def synth_video_item(i: int, frames: int = 12) -> tuple:
         return ("v%04d" % i, "image/webp",
                 encode_webp_anim(sub, offsets=offs, dispose=disp,
                                  canvas=(8, 6), bg=(5, 10, 15)))
+    if i % 6 == 4:
+        return ("v%04d" % i, "video/x-ivf", encode_ivf(imgs, qi=12))
+    if i % 6 == 5:
+        return ("v%04d" % i, "video/x-yuv4mpeg",
+                encode_y4m(imgs, chroma="420jpeg"))
     parts = []
     for img in imgs:
-        if i % 4 == 1:
+        if i % 6 == 1:
             from .jpeg import encode_jpeg
             parts.append(encode_jpeg(img))
-        elif i % 4 == 2:
+        elif i % 6 == 2:
             from .jpeg import encode_jpeg_progressive
             parts.append(encode_jpeg_progressive(
                 img, sampling="420", restart_interval=1))
         else:
             parts.append(encode_ppm(img))
-    mime = "video/x-motion-jpeg" if i % 4 else "video/x-ppm-seq"
+    mime = "video/x-motion-jpeg" if i % 6 else "video/x-ppm-seq"
     return ("v%04d" % i, mime, b"".join(parts))
 
 

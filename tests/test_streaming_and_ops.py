@@ -1643,3 +1643,51 @@ def test_mix_plan_integer_exact(spark):
     # temperature effect: tiny stratum's ppm share > its token share
     tiny_share = ntok["tiny"] * 1_000_000 // sum(ntok.values())
     assert got["tiny"]["weight_ppm"] > tiny_share
+
+
+def test_ivf_vp8_keyframe_roundtrip_and_inter_guard():
+    import numpy as np
+    from rdf_rdfxml_spark.operators.multimodal import (
+        DecodeError, decode_image, encode_ivf, split_ivf_frames,
+    )
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+            for _ in range(4)]
+    fs = split_ivf_frames(encode_ivf(imgs))
+    assert len(fs) == 4
+    assert all(decode_image(f).shape == (6, 8, 3) for f in fs)
+    # the inter-frame guard must raise loudly, never mis-decode
+    bad = bytearray(encode_ivf(imgs))
+    bad[32 + 12] |= 1  # flip frame-tag type bit of frame 0
+    import pytest
+    with pytest.raises(DecodeError, match="inter-coded"):
+        split_ivf_frames(bytes(bad))
+    with pytest.raises(DecodeError, match="unsupported"):
+        split_ivf_frames(b"DKIF" + b"\x00" * 4 + b"VP90" + b"\x00" * 20)
+
+
+def test_y4m_roundtrip_444_exact_and_420_upsample():
+    import numpy as np
+    from rdf_rdfxml_spark.operators.multimodal import (
+        _rgb_to_yuv, _yuv_to_rgb, decode_image, encode_y4m,
+        split_y4m_frames,
+    )
+    rng = np.random.default_rng(13)
+    imgs = [rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+            for _ in range(3)]
+    # C444 carries full-resolution planes: output equals the pure
+    # YUV roundtrip of each frame (conversion is the only loss)
+    fs = split_y4m_frames(encode_y4m(imgs, chroma="444"))
+    for img, f in zip(imgs, fs):
+        want = _yuv_to_rgb(*_rgb_to_yuv(img))
+        assert (decode_image(f) == want).all()
+    # C420 decimates then replicates chroma: structure parses (counts,
+    # dims) and a chroma-FLAT frame — where decimation loses nothing —
+    # round-trips as exactly as C444 does
+    fs = split_y4m_frames(encode_y4m(imgs, chroma="420jpeg"))
+    assert len(fs) == 3
+    assert all(decode_image(f).shape == (6, 8, 3) for f in fs)
+    flat = np.full((6, 8, 3), (200, 64, 32), dtype=np.uint8)
+    f420 = split_y4m_frames(encode_y4m([flat], chroma="420jpeg"))[0]
+    want = _yuv_to_rgb(*_rgb_to_yuv(flat))
+    assert (decode_image(f420) == want).all()
