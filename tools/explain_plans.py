@@ -259,6 +259,44 @@ def main():
     print("=" * 72)
     from rdf_rdfxml_spark.operators.distinct_sketch import hll_state
     hll_state(docs.select("doc_id", "text")).explain("formatted")
+
+    print("=" * 72)
+    print("23. grouped histogram quantiles (round 7) — per-stratum "
+          "value histogram partial-aggregates to <= |universe| rows "
+          "per (stratum, map task); the cumulative and total windows "
+          "run keyed by stratum over the AGGREGATED table (no "
+          "SinglePartition anywhere); q thresholds broadcast")
+    print("=" * 72)
+    from rdf_rdfxml_spark.operators.quantiles import grouped_quantiles
+    grouped_quantiles(
+        docs, "size(filter(split(text, ' '), t -> t <> ''))",
+        qs=(25, 50, 95)).explain("formatted")
+
+    print("=" * 72)
+    print("24. mixture-plan execution (round 7) — the stratum-sized "
+          "cut table is BROADCAST into one narrow corpus "
+          "projection+filter; the only corpus-wide work is "
+          "mix_plan's own partial-agg pass")
+    print("=" * 72)
+    from rdf_rdfxml_spark.operators.sampling import mix_execute
+    mix_execute(docs, token_budget=100_000).explain("formatted")
+
+    print("=" * 72)
+    print("25. BFS one expansion round (round 7, iterative — plan of "
+          "a single frontier step): left-semi frontier probe into the "
+          "persisted adjacency + distinct + anti-join visited, all "
+          "narrow (node) rows; rounds are localCheckpoint-separated "
+          "so lineage never grows")
+    print("=" * 72)
+    from pyspark.sql import functions as F3
+    adjx = docs.selectExpr("concat('n', doc_id DIV 2) AS u",
+                           "concat('n', doc_id) AS w")
+    frontier = docs.limit(5).selectExpr("concat('n', doc_id) AS u")
+    visited = frontier.selectExpr("u AS node")
+    (adjx.join(frontier, "u", "left_semi")
+     .selectExpr("w AS node").distinct()
+     .join(visited, "node", "left_anti")
+     .withColumn("depth", F3.lit(1).cast("long"))).explain("formatted")
     spark.stop()
 
 
