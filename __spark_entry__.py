@@ -71,6 +71,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+_TABLE_ROWS_CACHE: dict = {}
+
+
+def _table_rows(sf_dir: str, name: str = "documents") -> int:
+    """Row count of an input parquet table read from the file footer —
+    input-sizing metadata only (task-count floors), never query results.
+    The equivalent ``df.count()`` costs a full Spark job (~0.18 s of
+    scheduler/collect overhead at local[32], measured round 8) per query
+    call just to size a repartition; the footer read is ~1 ms in-process
+    and returns the identical number."""
+    key = (sf_dir, name)
+    n = _TABLE_ROWS_CACHE.get(key)
+    if n is None:
+        import pyarrow.parquet as _pq
+        n = _TABLE_ROWS_CACHE[key] = _pq.ParquetFile(
+            f"{sf_dir}/{name}.parquet").metadata.num_rows
+    return n
+
+
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -90,7 +109,7 @@ def _parse(spark: SparkSession, sf_dir: str, content_expr: str,
         f"({content_expr}) AS content",
         "'http://example.org/' AS base_uri")
     docs = docs.repartition(
-        _sized_spread(spark, _docs(spark, sf_dir).count()))
+        _sized_spread(spark, _table_rows(sf_dir)))
     return extract(docs, strict=strict)
 
 
@@ -314,7 +333,14 @@ def q_namespace_stats(spark, sf_dir):
 
 def q_dedup_global(spark, sf_dir):
     t = triples_channel(_parse(spark, sf_dir, D.xml_basic_expr()))
-    doubled = t.unionByName(t)  # duplicate provenance → same logical graph
+    # duplicate provenance → same logical graph. Row-local explode instead
+    # of unionByName(t, t): the union plans TWO copies of the parse
+    # subtree (Spark does not dedup identical opaque MapInArrow subtrees)
+    # — the generator emits each parsed row twice in one pass, and
+    # dedup_global collapses either shape to the identical triple set
+    # (measured round 8: 0.98 s → 0.56 s at sf0.1).
+    doubled = t.withColumn(
+        "_dup", F.explode(F.array(F.lit(0), F.lit(1)))).drop("_dup")
     return (dedup_global(doubled)
             .groupBy("p").agg(F.count("*").alias("n"))
             .select("p", "n"))
@@ -493,7 +519,7 @@ def q_kg_pagerank(spark, sf_dir):
     # neighbors mod N) — derivable identically in SQL.
     from rdf_rdfxml_spark.operators.graph import pagerank
     docs = _docs(spark, sf_dir).select("doc_id")
-    n = docs.count()
+    n = _table_rows(sf_dir)  # footer count — same N, no sizing job
     edges = (docs.selectExpr(
         "concat('d', doc_id) AS src",
         f"concat('d', (doc_id * 7 + 1) % {n}) AS dst")
@@ -609,7 +635,7 @@ def q_dedup_verified_pairs(spark, sf_dir):
         minhash_candidates, verify_candidates,
     )
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    docs = docs.repartition(_sized_spread(spark, docs.count()))
+    docs = docs.repartition(_sized_spread(spark, _table_rows(sf_dir)))
     return verify_candidates(docs, minhash_candidates(docs))
 
 
@@ -624,7 +650,7 @@ def q_minhash_lsh(spark, sf_dir):
     # At 100 TB the scan is already partitioned.
     from rdf_rdfxml_spark.operators.sketch import minhash_candidates
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    docs = docs.repartition(_sized_spread(spark, docs.count()))
+    docs = docs.repartition(_sized_spread(spark, _table_rows(sf_dir)))
     return minhash_candidates(docs)
 
 
@@ -636,7 +662,7 @@ def q_dedup_components(spark, sf_dir):
     from rdf_rdfxml_spark.operators.graph import component_stats
     from rdf_rdfxml_spark.operators.sketch import minhash_candidates
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    docs = docs.repartition(_sized_spread(spark, _table_rows(sf_dir)))
     return component_stats(minhash_candidates(docs))
 
 
@@ -650,7 +676,7 @@ def q_kg_pagerank_salted(spark, sf_dir):
     # machinery end-to-end.
     from rdf_rdfxml_spark.operators.graph import pagerank
     docs = _docs(spark, sf_dir).select("doc_id")
-    n = docs.count()
+    n = _table_rows(sf_dir)  # footer count — same N, no sizing job
     edges = (docs.selectExpr(
         "concat('d', doc_id) AS src",
         f"concat('d', (doc_id * 7 + 1) % {n}) AS dst")
@@ -668,7 +694,7 @@ def q_dedup_components_salted(spark, sf_dir):
     from rdf_rdfxml_spark.operators.graph import component_stats
     from rdf_rdfxml_spark.operators.sketch import minhash_candidates
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    docs = docs.repartition(_sized_spread(spark, _table_rows(sf_dir)))
     return component_stats(minhash_candidates(docs), hot_keys=[0, 1])
 
 
@@ -677,7 +703,10 @@ def q_simhash(spark, sf_dir):
     # shuffled a 16×-bit-exploded token stream through two aggregations).
     from rdf_rdfxml_spark.operators.sketch import simhash
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    # task-count floor, not 2×cores: the signature pass is ~10 ms fixed
+    # overhead per Python task and the corpus is small (PERF.md §19;
+    # measured round 8: 64 tasks 0.64 s vs 17 tasks 0.39 s)
+    docs = docs.repartition(_sized_spread(spark, _table_rows(sf_dir)))
     return simhash(docs)
 
 
@@ -694,27 +723,37 @@ def q_simhash_candidates(spark, sf_dir):
     # misrepresent the output as complete — round-2 ADVICE.)
     from rdf_rdfxml_spark.operators.sketch import simhash_candidates
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    docs = docs.repartition(_sized_spread(spark, _table_rows(sf_dir)))
     return simhash_candidates(docs).filter("hamming <= 3")
 
 
 def q_ann_cosine_topk(spark, sf_dir):
+    # Brute-force baseline, kept brute-force — but norms are evaluated
+    # once per ROW on each side instead of once per PAIR (the per-pair
+    # expression recomputed both array norms n_queries×n times; the same
+    # sqrt(Σx²) value per identical input is IEEE-identical, so sim is
+    # bit-equal), and the candidate side is spread before the per-pair
+    # HOF dot, which otherwise ran on the single scan partition of the
+    # bench parquet (guide §2.5: compute-bound narrow stage).
     emb = _embeddings(spark, sf_dir)
-    q = emb.filter("vec_id < 10").selectExpr(
-        "vec_id AS query_id",
-        "transform(embedding, x -> CAST(x AS DOUBLE)) AS qv")
-    c = emb.selectExpr(
-        "vec_id AS neighbor_id",
-        "transform(embedding, x -> CAST(x AS DOUBLE)) AS nv")
-    j = q.crossJoin(c).filter("query_id != neighbor_id")
-    dot = ("aggregate(zip_with(qv, nv, (x, y) -> x * y), "
-           "CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
     nq = ("sqrt(aggregate(transform(qv, x -> x * x), "
           "CAST(0.0 AS DOUBLE), (a, x) -> a + x))")
     nn = ("sqrt(aggregate(transform(nv, x -> x * x), "
           "CAST(0.0 AS DOUBLE), (a, x) -> a + x))")
+    q = (emb.filter("vec_id < 10").selectExpr(
+        "vec_id AS query_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS qv")
+        .selectExpr("query_id", "qv", f"({nq}) AS nq"))
+    c = (emb.selectExpr(
+        "vec_id AS neighbor_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS nv")
+        .repartition(2 * spark.sparkContext.defaultParallelism)
+        .selectExpr("neighbor_id", "nv", f"({nn}) AS nn"))
+    j = F.broadcast(q).crossJoin(c).filter("query_id != neighbor_id")
+    dot = ("aggregate(zip_with(qv, nv, (x, y) -> x * y), "
+           "CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
     sims = j.selectExpr("query_id", "neighbor_id",
-                        f"({dot}) / (({nq}) * ({nn})) AS sim")
+                        f"({dot}) / (nq * nn) AS sim")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id"))
     return (sims.withColumn("rank", F.row_number().over(w))
@@ -750,7 +789,7 @@ def q_dedup_embedding_bucketed(spark, sf_dir):
     from rdf_rdfxml_spark.operators.ann import (
         dedup_embedding_bucketed, load_embeddings,
     )
-    n_vec = _embeddings(spark, sf_dir).count()  # parquet metadata count
+    n_vec = _table_rows(sf_dir, "embeddings")  # parquet footer count
     return dedup_embedding_bucketed(load_embeddings(spark, sf_dir),
                                     n_cells=max(8, n_vec // 25))
 
@@ -1613,7 +1652,7 @@ def q_doc_winnowing(spark, sf_dir):
     # a shared fingerprint. Document-local (mapInArrow, zero shuffle).
     from rdf_rdfxml_spark.operators.sketch import winnow_fingerprints
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    docs = docs.repartition(_sized_spread(spark, _table_rows(sf_dir)))
     return winnow_fingerprints(docs)
 
 
@@ -1623,7 +1662,7 @@ def q_lang_id_trigram(spark, sf_dir):
     # constants shared with the oracle SQL.
     from rdf_rdfxml_spark.operators.textlang import langid_trigram
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism)
+    docs = docs.repartition(_sized_spread(spark, _table_rows(sf_dir)))
     return langid_trigram(docs)
 
 
@@ -2256,7 +2295,7 @@ def q_rdfxml_write(spark, sf_dir):
     # the group exchange + sort entirely (PERF.md §19). Task count via
     # the _sized_spread floor (measured: 64 tasks 1.78 s vs 16 tasks
     # 0.89 s on the same 5k docs).
-    spread = _sized_spread(spark, _docs(spark, sf_dir).count())
+    spread = _sized_spread(spark, _table_rows(sf_dir))
     docs = _docs(spark, sf_dir).selectExpr(
         f"({D.xml_basic_expr()}) AS content",
         "'http://example.org/' AS base_uri").repartition(spread)
