@@ -770,7 +770,12 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     from rdf_rdfxml_spark.operators.ann import (
         load_embeddings, lsh_bucket_topk,
     )
-    return lsh_bucket_topk(load_embeddings(spark, sf_dir))
+    # per-row work here is 4 plane cosines — task dispatch dominates past
+    # a few hundred rows/task, so size tasks instead of 2×cores
+    # (measured round 8: 0.80 s at 8 partitions vs 1.05 s at 64)
+    emb = load_embeddings(spark, sf_dir, spread=_sized_spread(
+        spark, _table_rows(sf_dir, "embeddings")))
+    return lsh_bucket_topk(emb)
 
 
 def q_dedup_embedding_bucketed(spark, sf_dir):

@@ -51,9 +51,29 @@ class Text:
         return not self.value.strip()
 
 
+#: (ns, local) → expanded name memo. Element names repeat massively
+#: within and across documents, so the concat happens once per distinct
+#: name per worker instead of once per property access (round 8: the
+#: grammar reads ``el.uri`` several times per element). Bounded: cleared
+#: past 64k entries so a hostile corpus of unbounded distinct names
+#: can't grow worker memory.
+_URI_MEMO: dict = {}
+
+
+def _expanded_name(ns, local) -> str:
+    key = (ns, local)
+    u = _URI_MEMO.get(key)
+    if u is None:
+        if len(_URI_MEMO) > 65536:
+            _URI_MEMO.clear()
+        u = _URI_MEMO[key] = (ns if ns is not None else XML_NS) + local
+    return u
+
+
 class Element:
     __slots__ = (
         "ns", "local", "prefix", "attrs", "ns_decls", "children", "parent",
+        "uri",
     )
 
     is_element = True
@@ -64,17 +84,17 @@ class Element:
         self.local = local
         self.prefix = prefix        # declared prefix or None
         self.attrs = []             # [(ns, local, prefix, value)] doc order
-        self.ns_decls = []          # [(prefix|None, uri)] declared here
+        self.ns_decls = ()          # [(prefix|None, uri)] declared here —
+        #                             shared empty default (read-only when
+        #                             empty; producers assign a fresh list)
         self.children = []          # [Element|Text]
         self.parent = parent
-
-    # -- name ----------------------------------------------------------------
-    @property
-    def uri(self) -> str:
-        """Expanded name as the reference computes it: namespace href +
-        local name, defaulting to the XML namespace when unqualified
-        (NodeProxy#uri, nokogiri.rb:169-173)."""
-        return (self.ns if self.ns is not None else XML_NS) + self.local
+        # Expanded name as the reference computes it: namespace href +
+        # local name, defaulting to the XML namespace when unqualified
+        # (NodeProxy#uri, nokogiri.rb:169-173). Precomputed once — the
+        # value is a pure function of (ns, local), which never change
+        # after construction.
+        self.uri = _expanded_name(ns, local)
 
     @property
     def name(self) -> str:
@@ -90,8 +110,11 @@ class Element:
 
     def inner_text(self) -> str:
         """Concatenated text of all text descendants (Nokogiri inner_text)."""
+        ch = self.children
+        if len(ch) == 1 and ch[0].is_text:  # the common literal shape
+            return ch[0].value
         out = []
-        stack = list(reversed(self.children))
+        stack = list(reversed(ch))
         while stack:
             node = stack.pop()
             if node.is_text:
@@ -133,14 +156,26 @@ class Element:
         return self.attr(XML_NS, "base")
 
 
+#: expat triplet-name → (ns, local, prefix) memo; same boundedness
+#: rationale as ``_URI_MEMO`` (names repeat, splits are pure).
+_SPLIT_MEMO: dict = {}
+
+
 def _split_name(name: str):
     """expat triplet name 'uri\\x01local\\x01prefix' | 'uri\\x01local' | 'local'."""
-    parts = name.split(_SEP)
-    if len(parts) == 3:
-        return parts[0], parts[1], parts[2]
-    if len(parts) == 2:
-        return parts[0], parts[1], None
-    return None, parts[0], None
+    t = _SPLIT_MEMO.get(name)
+    if t is None:
+        parts = name.split(_SEP)
+        if len(parts) == 3:
+            t = parts[0], parts[1], parts[2]
+        elif len(parts) == 2:
+            t = parts[0], parts[1], None
+        else:
+            t = None, parts[0], None
+        if len(_SPLIT_MEMO) > 65536:
+            _SPLIT_MEMO.clear()
+        _SPLIT_MEMO[name] = t
+    return t
 
 
 _DECL_ENC_B = re.compile(rb'^<\?xml[^>]*?encoding=["\']([A-Za-z0-9._\-]+)["\']')
@@ -213,8 +248,9 @@ def parse_document(content, library: str | None = None) -> Element:
         ns, local, prefix = _split_name(name)
         parent = stack[-1] if stack else None
         el = Element(ns, local, prefix, parent)
-        el.ns_decls = list(pending_ns)
-        pending_ns.clear()
+        if pending_ns:
+            el.ns_decls = list(pending_ns)
+            pending_ns.clear()
         for i in range(0, len(attr_list), 2):
             a_ns, a_local, a_prefix = _split_name(attr_list[i])
             el.attrs.append((a_ns, a_local, a_prefix, attr_list[i + 1]))

