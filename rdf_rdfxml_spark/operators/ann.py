@@ -245,45 +245,92 @@ def ivf_assign_two_level(emb: DataFrame, centroids: list, *,
     best fine cell outside its probed coarse cells is missed; recall vs
     the flat path is measured in tests/test_ann.py.
     """
+    import math
     spark = emb.sparkSession
     k = len(centroids)
     step = max(1, int(k ** 0.5))
-    cent = F.broadcast(spark.createDataFrame(
-        [(int(c), list(map(float, v))) for c, v in centroids],
-        "cell_id int, cv array<double>"))
+    cent_list = [(int(c), [float(x) for x in v]) for c, v in centroids]
     if coarse_centroids is not None:
-        coarse = F.broadcast(spark.createDataFrame(
-            [(int(c), list(map(float, v))) for c, v in coarse_centroids],
-            "coarse_id int, qv array<double>"))
+        coarse_list = [(int(c), [float(x) for x in v])
+                       for c, v in coarse_centroids]
     else:
-        coarse = cent.filter(f"cell_id % {step} = 0").selectExpr(
-            "cell_id AS coarse_id", "cv AS qv")
-    # fine→coarse routing (k×k' rows; rounded cosine, deterministic ties)
+        coarse_list = [(c, v) for c, v in cent_list if c % step == 0]
+
+    # fine→coarse routing (k×k' rows; rounded cosine, deterministic
+    # ties). Still computed WITH SPARK EXPRESSIONS over the model-sized
+    # tables — round() semantics must stay engine-side — then collected
+    # (k rows, the same memory class as the broadcasts it replaces).
+    cent = spark.createDataFrame(cent_list, "cell_id int, cv array<double>")
+    coarse = spark.createDataFrame(coarse_list,
+                                   "coarse_id int, qv array<double>")
     f2c = (cent.crossJoin(F.broadcast(coarse))
            .selectExpr("cell_id", "coarse_id",
                        f"round(({_cos('cv', 'qv')}), 6) AS c"))
     wf = Window.partitionBy("cell_id").orderBy(F.desc("c"),
                                                F.asc("coarse_id"))
-    routing = (f2c.withColumn("r", F.row_number().over(wf))
-               .filter("r = 1").select("cell_id", "coarse_id"))
-    fine = F.broadcast(cent.join(routing, "cell_id"))
+    routing = {int(r["cell_id"]): int(r["coarse_id"])
+               for r in f2c.withColumn("r", F.row_number().over(wf))
+               .filter("r = 1").select("cell_id", "coarse_id").collect()}
 
-    scored = (emb.crossJoin(F.broadcast(coarse))
-              .selectExpr("vec_id", "v", "coarse_id",
-                          f"round(({_cos('v', 'qv')}), 6) AS c"))
-    wc = Window.partitionBy("vec_id").orderBy(F.desc("c"),
-                                              F.asc("coarse_id"))
-    probes = (scored.withColumn("r", F.row_number().over(wc))
-              .filter(f"r <= {coarse_probes}")
-              .select("vec_id", "v", "coarse_id"))
-    cand = (probes.join(fine, "coarse_id")
-            .selectExpr("vec_id", "v", "cell_id",
-                        f"round(({_cos('v', 'cv')}), 6) AS c"))
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("c"),
-                                              F.asc("cell_id"))
-    return (cand.withColumn("r", F.row_number().over(wv))
-            .filter(f"r <= {nprobe}")
-            .select("vec_id", "v", "cell_id"))
+    # Round 8: both N-row stages (coarse probe and fine candidate rank)
+    # now run as ONE narrow projection per vector — the previous plan
+    # expanded every vector into k' (then nprobe-candidate) rows and
+    # shuffled the vector payload through TWO rank windows. The per-row
+    # expressions evaluate the identical round(cos, 6) doubles with the
+    # identical (desc c, asc id) orderings, so the probed-cell set is
+    # unchanged; centroid norms are Python left-fold + math.sqrt
+    # (bit-equal to the HOF norm they replace).
+    def _norm(v):
+        s = 0.0
+        for x in v:
+            s = s + x * x
+        return math.sqrt(s)
+
+    cq_ids = [c for c, _v in coarse_list]
+    cq_vs = [v for _c, v in coarse_list]
+    cq_ns = [_norm(v) for v in cq_vs]
+    # complete routes map (empty arrays for unrouted coarse ids, so the
+    # flatten below never meets a NULL element)
+    routes: dict = {c: [] for c in cq_ids}
+    for cell_id, cv in cent_list:
+        routes[routing[cell_id]].append(
+            (cell_id, cv, _norm(cv)))
+    route_rows = [routes[c] for c in cq_ids]
+    cent1 = F.broadcast(spark.createDataFrame(
+        [(cq_ids, cq_vs, cq_ns, route_rows)],
+        "cqids array<int>, cqvs array<array<double>>, "
+        "cqns array<double>, "
+        "routes array<array<struct<cell_id: int, cv: array<double>, "
+        "ncv: double>>>"))
+    nv = ("sqrt(aggregate(transform(v, x -> x * x), "
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))")
+
+    def _dot(a, b):
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+                f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+
+    cmp = ("(l, r) -> CASE WHEN l.c > r.c THEN -1 WHEN l.c < r.c THEN 1 "
+           "WHEN l.{id} < r.{id} THEN -1 ELSE 1 END")
+    # tie-break on the coarse ID (cid), as the window did; ci is the
+    # array position, kept only to index `routes`
+    probed = (f"slice(array_sort("
+              f"transform(cqvs, (qv, i) -> struct("
+              f"round(({_dot('v', 'qv')}) / (nv * cqns[i]), 6) AS c, "
+              f"cqids[i] AS cid, i AS ci)), "
+              f"{cmp.format(id='cid')}), 1, {coarse_probes})")
+    # candidate fine cells of the probed coarse ids (disjoint by
+    # construction: routing assigns each fine cell to exactly one coarse)
+    cands = f"flatten(transform({probed}, p -> routes[p.ci]))"
+    fine_sel = (f"slice(array_sort("
+                f"transform({cands}, s -> struct("
+                f"round(({_dot('v', 's.cv')}) / (nv * s.ncv), 6) AS c, "
+                f"s.cell_id AS cell_id)), "
+                f"{cmp.format(id='cell_id')}), 1, {nprobe})")
+    return (emb.crossJoin(cent1)
+            .selectExpr("vec_id", "v", f"({nv}) AS nv",
+                        "cqids", "cqvs", "cqns", "routes")
+            .selectExpr("vec_id", "v", f"explode({fine_sel}) AS _pr")
+            .selectExpr("vec_id", "v", "_pr.cell_id AS cell_id"))
 
 
 def dedup_embedding_bucketed(emb: DataFrame, *, threshold: float = 0.4,
