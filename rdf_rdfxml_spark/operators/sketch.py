@@ -101,6 +101,34 @@ def minhash_params(n_hashes: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
+#: gram-string → 32-bit md5-prefix hash memo, shared by the minhash /
+#: shingle-set / winnowing UDFs (all consume the identical
+#: ``int(md5(s)[:8], 16)`` transform). Grams repeat enormously across
+#: documents (round 8: the bench corpus has 1.0M per-doc-distinct
+#: 5-grams but only ~2k GLOBALLY distinct), and the memo survives task
+#: boundaries in reused Python workers. Deterministic content hashing →
+#: retry-idempotent; bounded (cleared past ~1M entries) so an
+#: adversarially diverse corpus can't grow worker memory.
+_GRAM_HASH_MEMO: dict = {}
+_GRAM_MEMO_CAP = 1 << 20
+
+
+def _hash32_all(grams, md5):
+    """32-bit md5-prefix hash of each gram (memoized)."""
+    memo = _GRAM_HASH_MEMO
+    out = []
+    ap = out.append
+    for s in grams:
+        h = memo.get(s)
+        if h is None:
+            if len(memo) > _GRAM_MEMO_CAP:
+                memo.clear()
+            h = memo[s] = int.from_bytes(
+                md5(s.encode("utf-8")).digest()[:4], "big")
+        ap(h)
+    return out
+
+
 def _minhash_fn(n_hashes: int, n_bands: int, shingle: int,
                 passthrough: str | None = None):
     A, B = minhash_params(n_hashes)
@@ -120,13 +148,11 @@ def _minhash_fn(n_hashes: int, n_bands: int, shingle: int,
                 shingles = {t[i:i + shingle]
                             for i in range(len(t) - shingle + 1)}
                 # first 4 digest bytes big-endian == first 8 hex chars —
-                # same value as the oracle's substring(md5(sh),1,8), ~25%
-                # cheaper than hexdigest+parse
-                x = np.fromiter(
-                    (int.from_bytes(md5(s.encode("utf-8")).digest()[:4],
-                                    "big")
-                     for s in shingles),
-                    dtype=np.int64, count=len(shingles))[None, :]
+                # same value as the oracle's substring(md5(sh),1,8); the
+                # per-gram value is memoized across documents AND tasks
+                # (_GRAM_HASH_MEMO)
+                x = np.asarray(_hash32_all(shingles, md5),
+                               dtype=np.int64)[None, :]
                 mins = ((A * x + B) % MINHASH_P).min(axis=1)
                 for band in range(n_bands):
                     key = ":".join(str(int(v))
@@ -214,9 +240,12 @@ def _shingle_sets_fn(shingle: int):
             for d, t in zip(doc_ids, texts):
                 if t is None or len(t) < shingle:
                     continue  # zero shingles → no row (matches minhash_bands)
-                hs = {int.from_bytes(md5(t[i:i + shingle].encode("utf-8"))
-                                     .digest()[:4], "big")
-                      for i in range(len(t) - shingle + 1)}
+                # dedupe substrings BEFORE hashing (round 8 — the old
+                # comprehension hashed every position), then reuse the
+                # shared gram memo
+                hs = set(_hash32_all(
+                    {t[i:i + shingle]
+                     for i in range(len(t) - shingle + 1)}, md5))
                 out_doc.append(d)
                 out_set.append(sorted(hs))
             yield pa.RecordBatch.from_arrays(
@@ -384,11 +413,17 @@ def stream_neardup_oracle_sql(*, n_hashes: int = 64, n_bands: int = 8,
     WHERE b.doc_id != f.first_doc"""
 
 
+#: token → (hexlen-prefix md5 int) memo per hexlen — simhash's token
+#: hash; same boundedness/idempotence rationale as _GRAM_HASH_MEMO.
+_TOKEN_HASH_MEMO: dict = {}
+
+
 def _simhash_fn(bits: int):
     md5 = hashlib.md5
     hexlen = bits // 4
     powers = (np.int64(1) << np.arange(bits, dtype=np.int64))
     bitpos = np.arange(bits, dtype=np.int64)[None, :]
+    memo = _TOKEN_HASH_MEMO.setdefault(hexlen, {})
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
@@ -399,9 +434,18 @@ def _simhash_fn(bits: int):
                 tokens = [w for w in (t or "").split(" ") if w]
                 if not tokens:
                     continue
+
+                def _h(w):
+                    h = memo.get(w)
+                    if h is None:
+                        if len(memo) > _GRAM_MEMO_CAP:
+                            memo.clear()
+                        h = memo[w] = int(
+                            md5(w.encode("utf-8")).hexdigest()[:hexlen], 16)
+                    return h
+
                 hs = np.fromiter(
-                    (int(md5(w.encode("utf-8")).hexdigest()[:hexlen], 16)
-                     for w in tokens),
+                    (_h(w) for w in tokens),
                     dtype=np.int64, count=len(tokens))[:, None]
                 votes = (((hs >> bitpos) & 1) * 2 - 1).sum(axis=0)
                 out_doc.append(d)
@@ -458,11 +502,10 @@ def _winnow_fn(k: int, window: int):
             for d, t in zip(doc_ids, texts):
                 if t is None or len(t) < k + window - 1:
                     continue
-                hs = np.fromiter(
-                    (int.from_bytes(md5(t[i:i + k].encode("utf-8"))
-                                    .digest()[:4], "big")
-                     for i in range(len(t) - k + 1)),
-                    dtype=np.int64, count=len(t) - k + 1)
+                hs = np.asarray(
+                    _hash32_all((t[i:i + k]
+                                 for i in range(len(t) - k + 1)), md5),
+                    dtype=np.int64)
                 # sliding-window minima via a strided view (document-local,
                 # O(n·w) worst case but w is tiny)
                 win = np.lib.stride_tricks.sliding_window_view(hs, window)
