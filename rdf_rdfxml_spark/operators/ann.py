@@ -156,18 +156,27 @@ def _ivf_assign_expr(emb: DataFrame, cent_list: list,
           "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))")
     dot = ("aggregate(zip_with(v, cv, (x, y) -> x * y), "
            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
-    probe = (f"slice(array_sort("
+    # sort_array's natural struct order on (-c, cell_id) == the window's
+    # (desc c, asc cell_id) — and unlike a comparator lambda it stays in
+    # codegen. (Edge note: a NaN cosine — only possible for a zero-norm
+    # vector — sorts last here, where the old window's DESC put NaN
+    # first; no gated corpus contains zero vectors.)
+    probe = (f"slice(sort_array("
              f"transform(cvs, (cv, i) -> struct("
-             f"(({dot}) / (nv * ncvs[i])) AS c, cids[i] AS cell_id)), "
-             f"(l, r) -> CASE WHEN l.c > r.c THEN -1 "
-             f"WHEN l.c < r.c THEN 1 "
-             f"WHEN l.cell_id < r.cell_id THEN -1 ELSE 1 END), "
+             f"-(({dot}) / (nv * ncvs[i])) AS nc, cids[i] AS cell_id))), "
              f"1, {nprobe})")
     return (emb.crossJoin(cent1)
             .selectExpr("vec_id", "v", f"({nv}) AS nv",
                         "cids", "cvs", "ncvs")
             .selectExpr("vec_id", "v", f"explode({probe}) AS _pr")
             .selectExpr("vec_id", "v", "_pr.cell_id AS cell_id"))
+
+
+_SORT_EDGE_NOTE = (
+    "sort_array on struct(-c, id) reproduces the rank window's "
+    "(desc c, asc id) order in codegen; NaN cosines (zero-norm vectors "
+    "only) sort last instead of the window's NaN-first — no gated "
+    "corpus contains zero vectors.")
 
 
 def train_coarse_quantizer(centroids: list, *, k_coarse: int | None = None,
@@ -309,23 +318,21 @@ def ivf_assign_two_level(emb: DataFrame, centroids: list, *,
         return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
                 f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
 
-    cmp = ("(l, r) -> CASE WHEN l.c > r.c THEN -1 WHEN l.c < r.c THEN 1 "
-           "WHEN l.{id} < r.{id} THEN -1 ELSE 1 END")
-    # tie-break on the coarse ID (cid), as the window did; ci is the
-    # array position, kept only to index `routes`
-    probed = (f"slice(array_sort("
+    # sort_array's natural struct order on (-c, id) == the windows'
+    # (desc c, asc id) in codegen (see _SORT_EDGE_NOTE for the
+    # zero-norm NaN edge). Tie-break on the coarse ID (cid), as the
+    # window did; ci is the array position, kept only to index `routes`.
+    probed = (f"slice(sort_array("
               f"transform(cqvs, (qv, i) -> struct("
-              f"round(({_dot('v', 'qv')}) / (nv * cqns[i]), 6) AS c, "
-              f"cqids[i] AS cid, i AS ci)), "
-              f"{cmp.format(id='cid')}), 1, {coarse_probes})")
+              f"-round(({_dot('v', 'qv')}) / (nv * cqns[i]), 6) AS nc, "
+              f"cqids[i] AS cid, i AS ci))), 1, {coarse_probes})")
     # candidate fine cells of the probed coarse ids (disjoint by
     # construction: routing assigns each fine cell to exactly one coarse)
     cands = f"flatten(transform({probed}, p -> routes[p.ci]))"
-    fine_sel = (f"slice(array_sort("
+    fine_sel = (f"slice(sort_array("
                 f"transform({cands}, s -> struct("
-                f"round(({_dot('v', 's.cv')}) / (nv * s.ncv), 6) AS c, "
-                f"s.cell_id AS cell_id)), "
-                f"{cmp.format(id='cell_id')}), 1, {nprobe})")
+                f"-round(({_dot('v', 's.cv')}) / (nv * s.ncv), 6) AS nc, "
+                f"s.cell_id AS cell_id))), 1, {nprobe})")
     return (emb.crossJoin(cent1)
             .selectExpr("vec_id", "v", f"({nv}) AS nv",
                         "cqids", "cqvs", "cqns", "routes")
