@@ -105,11 +105,13 @@ def _parse(spark: SparkSession, sf_dir: str, content_expr: str,
     # (round 5; same root cause as the write bench, PERF.md §19).
     # Spread to size-floored tasks before the parse — values are
     # per-document, so the repartition is correctness-neutral.
-    docs = _docs(spark, sf_dir).selectExpr(
-        f"({content_expr}) AS content",
-        "'http://example.org/' AS base_uri")
-    docs = docs.repartition(
-        _sized_spread(spark, _table_rows(sf_dir)))
+    # spread the RAW rows, then derive the fat XML column — the exchange
+    # ships ~300-byte table rows instead of built documents (the
+    # _bench_docs pattern)
+    docs = (_docs(spark, sf_dir)
+            .repartition(_sized_spread(spark, _table_rows(sf_dir)))
+            .selectExpr(f"({content_expr}) AS content",
+                        "'http://example.org/' AS base_uri"))
     return extract(docs, strict=strict)
 
 
@@ -2309,9 +2311,9 @@ def q_rdfxml_write(spark, sf_dir):
     # the _sized_spread floor (measured: 64 tasks 1.78 s vs 16 tasks
     # 0.89 s on the same 5k docs).
     spread = _sized_spread(spark, _table_rows(sf_dir))
-    docs = _docs(spark, sf_dir).selectExpr(
+    docs = _docs(spark, sf_dir).repartition(spread).selectExpr(
         f"({D.xml_basic_expr()}) AS content",
-        "'http://example.org/' AS base_uri").repartition(spread)
+        "'http://example.org/' AS base_uri")
     t = triples_channel(extract(docs)).select(
         "doc_sha", "s", "s_kind", "p", "o", "o_kind", "o_lang", "o_dt")
     return write_rdfxml(t, group_cols=("doc_sha",), grouped=True) \
