@@ -50,15 +50,27 @@ def _escape_attr(v: str) -> str:
             .replace("\n", "&#xA;").replace("\r", "&#xD;"))
 
 
+#: IRI → (ns, local) memo — predicates/types repeat across every
+#: document a task renders; bounded (cleared past 64k entries), pure.
+_SPLIT_IRI_MEMO: dict = {}
+
+
 def _split_iri(iri: str):
     """Namespace/local split at the last non-NCName boundary
     (ensure_qname, writer.rb:591-612). Returns (ns, local) or None."""
+    hit = _SPLIT_IRI_MEMO.get(iri, False)
+    if hit is not False:
+        return hit
     m = _NC_END.search(iri)
     if not m or m.start() == 0:
-        return None
-    local = m.group(0)
-    # keep '#' or '/' boundary on the namespace side
-    return iri[: m.start()], local
+        out = None
+    else:
+        # keep '#' or '/' boundary on the namespace side
+        out = iri[: m.start()], m.group(0)
+    if len(_SPLIT_IRI_MEMO) > 65536:
+        _SPLIT_IRI_MEMO.clear()
+    _SPLIT_IRI_MEMO[iri] = out
+    return out
 
 
 # Known-vocabulary prefixes, preferred over minted ns0… names — the
