@@ -326,8 +326,9 @@ def q_namespace_stats(spark, sf_dir):
     # stats over the corpus — every generated document declares exactly
     # rdf + ex, which the oracle can state in closed form.
     from rdf_rdfxml_spark.operators.extract import document_prefixes
-    docs = _docs(spark, sf_dir).selectExpr(
-        f"({D.xml_basic_expr()}) AS content")
+    docs = (_docs(spark, sf_dir)
+            .repartition(_sized_spread(spark, _table_rows(sf_dir)))
+            .selectExpr(f"({D.xml_basic_expr()}) AS content"))
     return (document_prefixes(docs)
             .groupBy("prefix", "ns")
             .agg(F.countDistinct("doc_sha").alias("n_docs")))
