@@ -750,7 +750,8 @@ def q_ann_cosine_topk(spark, sf_dir):
     c = (emb.selectExpr(
         "vec_id AS neighbor_id",
         "transform(embedding, x -> CAST(x AS DOUBLE)) AS nv")
-        .repartition(2 * spark.sparkContext.defaultParallelism)
+        .repartition(_sized_spread(spark, _table_rows(sf_dir, "embeddings"),
+                                   rows_per_task=125))
         .selectExpr("neighbor_id", "nv", f"({nn}) AS nn"))
     j = F.broadcast(q).crossJoin(c).filter("query_id != neighbor_id")
     dot = ("aggregate(zip_with(qv, nv, (x, y) -> x * y), "
@@ -798,8 +799,25 @@ def q_dedup_embedding_bucketed(spark, sf_dir):
         dedup_embedding_bucketed, load_embeddings,
     )
     n_vec = _table_rows(sf_dir, "embeddings")  # parquet footer count
-    return dedup_embedding_bucketed(load_embeddings(spark, sf_dir),
-                                    n_cells=max(8, n_vec // 25))
+    n_cells = max(8, n_vec // 25)
+    # Round 8: hand the operator its untrained centroids pre-collected
+    # from the RAW single-partition scan — the identical "lowest
+    # n_cells vec_ids, CAST-to-double" rows its internal path takes,
+    # minus a TakeOrdered over the 2×cores repartition; and size the
+    # embedding spread by rows-per-task for THIS op's per-row cost
+    # (n_cells cosines/row — measured 1.06 s at 16 partitions vs
+    # 1.46 s at 64; the floor caps at 2×cores so larger corpora still
+    # use the full cluster width).
+    cents = [(int(r["cell_id"]), [float(x) for x in r["cv"]])
+             for r in _embeddings(spark, sf_dir)
+             .orderBy("vec_id").limit(n_cells)
+             .selectExpr("vec_id AS cell_id",
+                         "transform(embedding, x -> CAST(x AS DOUBLE)) "
+                         "AS cv").collect()]
+    emb = load_embeddings(spark, sf_dir, spread=_sized_spread(
+        spark, n_vec, rows_per_task=125))
+    return dedup_embedding_bucketed(emb, n_cells=n_cells, nprobe=4,
+                                    centroids=cents)
 
 
 def q_dedup_embedding_trained(spark, sf_dir):
