@@ -399,6 +399,7 @@ def kcore(edges: DataFrame, k: int, *, max_rounds: int = 32) -> DataFrame:
            .filter("a <> b").distinct())
     cur = cur.persist()
     prev_n = -1
+    converged = False
     for _ in range(max_rounds):
         deg = (cur.selectExpr("a AS node")
                .unionAll(cur.selectExpr("b AS node"))
@@ -407,6 +408,7 @@ def kcore(edges: DataFrame, k: int, *, max_rounds: int = 32) -> DataFrame:
         n = keep.count()
         if n == prev_n:
             keep.unpersist()
+            converged = True
             break
         prev_n = n
         nxt = (cur.join(keep.selectExpr("node AS a"), "a", "left_semi")
@@ -417,7 +419,16 @@ def kcore(edges: DataFrame, k: int, *, max_rounds: int = 32) -> DataFrame:
         keep.unpersist()
         cur = nxt
         if n == 0:
+            converged = True
             break
+    if not converged:
+        # Fail-loud contract (matches connected_components and the
+        # oracle's error() guard): exhausting max_rounds without the
+        # fixpoint would silently return an under-peeled core.
+        cur.unpersist()
+        raise ValueError(
+            f"kcore: peel did not reach its fixpoint within max_rounds="
+            f"{max_rounds} — raise max_rounds")
     out = (cur.selectExpr("a AS node")
            .unionAll(cur.selectExpr("b AS node"))
            .groupBy("node").agg(F.count(F.lit(1)).alias("core_deg")))
@@ -488,6 +499,7 @@ def bfs_depths(edges: DataFrame, source: str, *,
     visited = spark.createDataFrame([(source, 0)], "node string, "
                                                    "depth long")
     frontier = visited.select("node")
+    completed = False
     for r in range(1, max_depth + 1):
         nxt = (adj.join(frontier.selectExpr("node AS u"), "u",
                         "left_semi")
@@ -496,10 +508,19 @@ def bfs_depths(edges: DataFrame, source: str, *,
                .withColumn("depth", F.lit(r).cast("long")))
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.limit(1).count() == 0:
+            completed = True
             break
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     adj.unpersist()
+    if not completed:
+        # Fail-loud contract (matches kcore/connected_components and the
+        # oracle's empty-final-round error() guard): a frontier still
+        # alive after max_depth rounds means depths would be silently
+        # truncated for the unreached nodes.
+        raise ValueError(
+            f"bfs_depths: frontier still alive after max_depth="
+            f"{max_depth} rounds — raise max_depth")
     return visited
 
 

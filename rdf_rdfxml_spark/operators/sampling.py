@@ -32,8 +32,24 @@ U32 = 1 << 32
 def _u32_expr(salt: str, id_col: str) -> str:
     """The portable uniform hash: first 8 md5 hex chars as a 32-bit int
     (Spark ``conv``; DuckDB mirrors with ``::UBIGINT``)."""
+    assert "'" not in salt and "\\" not in salt, salt  # SQL-literal-safe
     return (f"CAST(conv(substring(md5(concat('{salt}', ':', "
             f"CAST({id_col} AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+
+
+def _duckdb_cut(rate) -> int:
+    """The keep threshold ``rate * 2^32`` exactly as the (frozen) DuckDB
+    oracle computes it from the interpolated literal: ``str(rate)``
+    parses as a DECIMAL, the product is exact decimal arithmetic, and
+    ``CAST(DECIMAL AS BIGINT)`` rounds half away from zero. Spark's
+    ``CAST(0.8 * 4294967296 AS BIGINT)`` instead TRUNCATES (3435973836
+    vs DuckDB's 3435973837) — the CAST-rounding dialect seam CLAUDE.md
+    flags — so the threshold is computed HERE, once, and both the Spark
+    filter and any future caller share the oracle's exact integer
+    (pinned vs live DuckDB by tests/test_sampling_seam.py)."""
+    from decimal import ROUND_HALF_UP, Decimal
+    return int((Decimal(str(rate)) * U32).quantize(
+        Decimal(1), rounding=ROUND_HALF_UP))
 
 
 def stratified_sample(docs: DataFrame, rates: dict, *,
@@ -45,13 +61,22 @@ def stratified_sample(docs: DataFrame, rates: dict, *,
     ``u32(salt, id) < rate[stratum] * 2^32``. Rows whose stratum has no
     configured rate use ``default_rate`` (0.0 = drop — an unlisted
     source never silently leaks into the mix). Output: the input rows
-    that survive, unchanged."""
-    expr = f"CAST({default_rate} * {U32} AS BIGINT)"
+    that survive, unchanged.
+
+    The threshold integer comes from :func:`_duckdb_cut` so Spark and
+    the DuckDB oracle agree on EVERY u32 value (a doc whose hash lands
+    exactly on a truncated-vs-rounded boundary — near-certain somewhere
+    in a 100 TB corpus — would otherwise be kept by one engine only);
+    the stratum dispatch is built from Column expressions, never
+    interpolated into SQL text, so stratum values containing quotes
+    cannot produce malformed SQL."""
+    cut = F.lit(_duckdb_cut(default_rate))
     for stratum, rate in sorted(rates.items()):
         assert 0.0 <= rate <= 1.0, (stratum, rate)
-        expr = (f"CASE WHEN {stratum_col} = '{stratum}' THEN "
-                f"CAST({rate} * {U32} AS BIGINT) ELSE {expr} END")
-    return docs.filter(f"{_u32_expr(salt, id_col)} < {expr}")
+        cut = (F.when(F.col(stratum_col) == F.lit(stratum),
+                      F.lit(_duckdb_cut(rate)))
+               .otherwise(cut))
+    return docs.filter(F.expr(_u32_expr(salt, id_col)) < cut)
 
 
 def holdout_split(docs: DataFrame, heldout_frac: float, *,
@@ -319,12 +344,18 @@ def sample_oracle_sql(rates: dict, *, stratum_col: str = "source",
                       table: str = "documents") -> str:
     """DuckDB twin of :func:`stratified_sample` (count + id-sum per
     stratum — compact but value-pinning: any single different keep
-    decision changes the sum)."""
+    decision changes the sum). Interpolated string literals are
+    ``''``-escaped (identical output for quote-free values, so the
+    gated oracle text is unchanged); the Spark side's driver-computed
+    :func:`_duckdb_cut` integer equals this SQL's
+    ``CAST(rate * 2^32 AS BIGINT)`` by construction."""
     expr = f"CAST({default_rate} * {U32} AS BIGINT)"
     for stratum, rate in sorted(rates.items()):
-        expr = (f"CASE WHEN {stratum_col} = '{stratum}' THEN "
+        sv = str(stratum).replace("'", "''")
+        expr = (f"CASE WHEN {stratum_col} = '{sv}' THEN "
                 f"CAST({rate} * {U32} AS BIGINT) ELSE {expr} END")
-    u = (f"CAST(('0x' || substring(md5('{salt}' || ':' || "
+    s = salt.replace("'", "''")
+    u = (f"CAST(('0x' || substring(md5('{s}' || ':' || "
          f"CAST({id_col} AS STRING)), 1, 8))::VARCHAR::UBIGINT AS BIGINT)")
     return f"""
     SELECT {stratum_col} AS stratum,
